@@ -43,9 +43,11 @@ _PERSON_LAST = ["lopez", "smith", "chen", "khan", "garcia", "tanaka",
 _PLACE = ["singapore", "toronto", "berlin", "nairobi", "seattle", "lyon",
           "osaka", "austin", "zurich", "mumbai", "oslo", "dublin"]
 
-# relation lexicon — shared with the triple extractor (kgforge.extract.triples)
-RELATIONS = ["acquired", "works at", "founded", "located in", "merged with",
-             "partnered with", "invested in", "supplies"]
+# relation surface forms — derived from the extractor's lexicon so the
+# fixture generator and kgforge.extract.triples stay in lockstep
+from kgforge.extract.triples import REL_LEXICON
+
+RELATIONS = [" ".join(rel) for rel in REL_LEXICON if rel != ("is", "a")]
 
 _DISTRACTOR_WORDS = (
     "the market report shows strong demand while analysts expect steady "

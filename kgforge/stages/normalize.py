@@ -28,7 +28,7 @@ from kgforge.textnorm.constants import (
 from kgforge.textnorm.pipeline import DEFAULT_MAX_SEQUENCE_LENGTH, punctuate_one
 
 NORM_SCHEMA = (
-    "url string, text_norm string, labels array<string>, "
+    "url string, lang string, text_norm string, labels array<string>, "
     "n_tokens int, n_chunks int"
 )
 
@@ -55,7 +55,7 @@ def normalize(
 
         taggers: dict[str, object] = {}  # worker-local singletons per lang
         for pdf in batches:
-            urls, norms, labels_col, n_tokens, n_chunks = [], [], [], [], []
+            urls, langs, norms, labels_col, n_tokens, n_chunks = [], [], [], [], [], []
             for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
                 lang = lang or "en"
                 tagger = taggers.get(lang)
@@ -66,6 +66,7 @@ def normalize(
                     text or "", tagger, _tag_map(lang), max_sequence_length
                 )
                 urls.append(url)
+                langs.append(lang)
                 norms.append(text_norm)
                 labels_col.append(labels)
                 n_tokens.append(len(labels))
@@ -75,6 +76,7 @@ def normalize(
             yield pd.DataFrame(
                 {
                     "url": urls,
+                    "lang": langs,
                     "text_norm": norms,
                     "labels": labels_col,
                     "n_tokens": pd.Series(n_tokens, dtype="int32"),
