@@ -1,0 +1,98 @@
+"""Connected components via alternating large-star / small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+— the O(log n)-round, shuffle-bounded algorithm (SURVEY.md §2.11
+"Canonicalization").
+
+Node ids are strings; the total order is lexicographic ``min`` — any
+deterministic total order yields canonical component representatives.
+Each iteration is two hash-shuffles (groupBy node); ``localCheckpoint``
+truncates lineage so plans don't grow with iterations; AQE handles
+post-shuffle coalescing and skew splitting. Convergence = edge multiset
+stable (count + order-insensitive checksum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); connect every strictly larger
+    neighbor to m."""
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    m = sym.groupBy("src").agg(F.min("dst").alias("minn"))
+    m = m.select("src", F.least("minn", F.col("src")).alias("m"))
+    return (
+        sym.where(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small; for each node u: m = min of its smaller
+    neighborhood ∪ {u}; connect those neighbors and u itself to m."""
+    oriented = (
+        e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    m = oriented.groupBy("src").agg(F.min("dst").alias("minn"))
+    m = m.select("src", F.least("minn", F.col("src")).alias("m"))
+    joined = oriented.join(m, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        m.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: overflow-proof under ANSI mode (Spark 4 default)
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(src, dst) → labels(node, component) where component is the
+    lexicographic min node id of each connected component. Isolated nodes
+    (absent from edges) are the caller's concern — a node not returned maps
+    to itself."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, component string")
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star graph: every edge points node → component root
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return members.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )

@@ -1,0 +1,106 @@
+"""Stage C — entity linking (SURVEY.md §2.11).
+
+Relational formulation of the reference-free linking design:
+
+1. distinct mentions from ``triples_raw`` (one shuffle, tiny output);
+2. **broadcast hash join** mentions ⋈ alias_dict on the exact alias
+   string (J6 — the dictionary is small by construction, ~3 aliases per
+   entity, so broadcast keeps the big side shuffle-free);
+3. candidate scoring with a **vectorized pandas UDF**:
+   ``score = prior * cosine(embed(mention), embed(canon))`` — Arrow
+   batches, no per-row Python (north-rule requirement);
+4. top-1 per mention via ``row_number()`` over a deterministic window
+   (score desc, entity_id asc tie-break);
+5. unmatched mentions become self-entities ``M#<hash>`` so downstream
+   canonicalization sees a total mapping.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+ENTITIES_SCHEMA = "mention string, entity_id string, canon string, score double"
+
+
+@pandas_udf(DoubleType())
+def _pair_score(mention: pd.Series, canon: pd.Series, prior: pd.Series) -> pd.Series:
+    import numpy as np
+
+    from kgforge.linking.embed import embed_many
+
+    m = embed_many(mention.fillna("").tolist())
+    c = embed_many(canon.fillna("").tolist())
+    cos = np.einsum("ij,ij->i", m, c) if len(m) else np.zeros(0)
+    return pd.Series(cos * prior.fillna(0.0).to_numpy())
+
+
+def mentions(triples_df: DataFrame) -> DataFrame:
+    """Distinct mention surface forms from triple subjects and objects."""
+    return (
+        triples_df.select(
+            F.explode(F.array(F.col("subj"), F.col("obj"))).alias("mention")
+        )
+        .where(F.length("mention") > 0)
+        .distinct()
+    )
+
+
+def link(mentions_df: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """mentions → entities(mention, entity_id, canon, score): best candidate
+    per mention; unmatched mentions map to deterministic self-entities."""
+    cand = mentions_df.join(
+        F.broadcast(alias_df),
+        mentions_df["mention"] == alias_df["alias"],
+        "left",
+    )
+    scored = cand.withColumn(
+        "score",
+        F.when(
+            F.col("entity_id").isNotNull(),
+            _pair_score(F.col("mention"), F.col("canon"), F.col("prior")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("mention").orderBy(
+        F.desc("score"), F.asc_nulls_last("entity_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "alias", "prior")
+    )
+    return best.select(
+        "mention",
+        F.coalesce(
+            F.col("entity_id"),
+            F.concat(F.lit("M#"), F.substring(F.md5(F.col("mention")), 1, 12)),
+        ).alias("entity_id"),
+        F.coalesce(F.col("canon"), F.col("mention")).alias("canon"),
+        F.col("score"),
+    )
+
+
+def same_as_edges(alias_df: DataFrame) -> DataFrame:
+    """sameAs pairs: distinct entity_ids registered under an identical
+    (alias, canon) — duplicate registrations of the same real-world entity.
+    Abbreviation collisions (same alias, different canon) are NOT sameAs.
+    Output: edges(src, dst) with src < dst."""
+    a = alias_df.select("alias", "canon", "entity_id")
+    b = alias_df.select(
+        F.col("alias").alias("alias2"),
+        F.col("canon").alias("canon2"),
+        F.col("entity_id").alias("entity_id2"),
+    )
+    return (
+        a.join(
+            b,
+            (a["alias"] == b["alias2"])
+            & (a["canon"] == b["canon2"])
+            & (a["entity_id"] < b["entity_id2"]),
+        )
+        .select(F.col("entity_id").alias("src"), F.col("entity_id2").alias("dst"))
+        .distinct()
+    )
