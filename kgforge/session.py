@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory", os.environ.get("KGFORGE_DRIVER_MEMORY", "8g")
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -17,9 +17,10 @@ from pyspark.sql import functions as F
 
 from kgforge.extract.triples import extract_triples
 
-SENTENCES_SCHEMA = "url string, sent_id int, sentence string"
+SENTENCES_SCHEMA = "url string, warc_ts timestamp, sent_id int, sentence string"
 TRIPLES_SCHEMA = (
-    "url string, sent_id int, subj string, pred string, obj string, conf double"
+    "url string, warc_ts timestamp, sent_id int, "
+    "subj string, pred string, obj string, conf double"
 )
 
 # ender chars per language family (kgforge.extract.triples.split_sentences)
@@ -36,7 +37,9 @@ def sentences(norm: DataFrame) -> DataFrame:
         F.col("lang") == "zh", F.split("text_norm", _ZH_SPLIT)
     ).otherwise(F.split("text_norm", _EN_SPLIT))
     return (
-        norm.select("url", F.posexplode(parts).alias("sent_id", "sentence"))
+        norm.select(
+            "url", "warc_ts", F.posexplode(parts).alias("sent_id", "sentence")
+        )
         .withColumn("sentence", F.trim("sentence"))
         .filter(F.length("sentence") > 0)
     )
@@ -48,16 +51,18 @@ def triples(sentences_df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls: list[str] = []
+            tss: list = []
             sids: list[int] = []
             subjs: list[str] = []
             preds: list[str] = []
             objs: list[str] = []
             confs: list[float] = []
-            for url, sid, sentence in zip(
-                pdf["url"], pdf["sent_id"], pdf["sentence"]
+            for url, ts, sid, sentence in zip(
+                pdf["url"], pdf["warc_ts"], pdf["sent_id"], pdf["sentence"]
             ):
                 for subj, pred, obj, conf in extract_triples(sentence):
                     urls.append(url)
+                    tss.append(ts)
                     sids.append(sid)
                     subjs.append(subj)
                     preds.append(pred)
@@ -66,6 +71,7 @@ def triples(sentences_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "url": pd.Series(urls, dtype="object"),
+                    "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
                     "sent_id": pd.Series(sids, dtype="int32"),
                     "subj": pd.Series(subjs, dtype="object"),
                     "pred": pd.Series(preds, dtype="object"),

@@ -28,8 +28,8 @@ from kgforge.textnorm.constants import (
 from kgforge.textnorm.pipeline import DEFAULT_MAX_SEQUENCE_LENGTH, punctuate_one
 
 NORM_SCHEMA = (
-    "url string, lang string, text_norm string, labels array<string>, "
-    "n_tokens int, n_chunks int"
+    "url string, warc_ts timestamp, lang string, text_norm string, "
+    "labels array<string>, n_tokens int, n_chunks int"
 )
 
 
@@ -76,6 +76,7 @@ def normalize(
             yield pd.DataFrame(
                 {
                     "url": urls,
+                    "warc_ts": pdf["warc_ts"].reset_index(drop=True),
                     "lang": langs,
                     "text_norm": norms,
                     "labels": labels_col,
@@ -84,4 +85,14 @@ def normalize(
                 }
             )
 
-    return webdocs.select("url", "text", "lang").mapInPandas(run, NORM_SCHEMA)
+    from pyspark.sql import functions as F
+
+    # warc_ts rides along (avoids re-joining webdocs later just for the
+    # timestamp — a full url-keyed shuffle at scale); tolerate its absence.
+    if "warc_ts" in webdocs.columns:
+        src = webdocs.select("url", "warc_ts", "text", "lang")
+    else:
+        src = webdocs.select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"), "text", "lang"
+        )
+    return src.mapInPandas(run, NORM_SCHEMA)
