@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: the full KG-construction pipeline
+  (normalize → sentences → triples → link → canonicalize) over a
+  deterministic synthetic webdocs fixture, returning the top canonical
+  (subj_id, pred, obj_id) edges (SURVEY.md §2.6 A7, §7 Stage 2).
+- ``queries()`` — one entry per implemented operator family from
+  SURVEY.md §2 + the training-data-pipeline operators (dedup, similarity
+  search, text analysis, multimodal plumbing), over the shared test
+  tables; implementations live in ``kgforge.queries``.
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents
+  (``kgforge.oracles``). KG-pipeline queries (kg_*) are intentionally
+  absent there: their semantics are Python-defined (mock tagger +
+  reference text-normalization), gated instead by the byte-identity and
+  P/R pytest harnesses (tests/test_spark_normalize.py,
+  tests/test_extract.py), so the driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +21,134 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FIXTURE_DOCS = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 2000}
+
+
+def _fixture_webdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-memory webdocs fixture sized by the sf tier
+    (FIXTURES.md §1 — the KG payload table; /root/testdata holds the
+    generic harness tables, not the KG input)."""
+    from kgforge.fixtures.gen import gen_webdocs_rows
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _FIXTURE_DOCS.get(tier, 300)
+    rows = [
+        (r["url"], r["warc_ts"], r["text"], r["lang"])
+        for r in gen_webdocs_rows(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    ).repartition(8)
+
+
+def _fixture_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.fixtures.gen import gen_alias_rows
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _FIXTURE_DOCS.get(tier, 300)
+    rows = [
+        (r["alias"], r["entity_id"], r["canon"], r["prior"])
+        for r in gen_alias_rows(n)
+    ]
+    return spark.createDataFrame(
+        rows, "alias string, entity_id string, canon string, prior double"
+    )
+
+
+def _kg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.stages.normalize import normalize
+
+    return normalize(_fixture_webdocs(spark, sf_dir)).select(
+        "url", "lang", "text_norm", "n_tokens", "n_chunks"
+    )
+
+
+def _kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.stages.extract import sentences
+    from kgforge.stages.normalize import normalize
+
+    return sentences(normalize(_fixture_webdocs(spark, sf_dir))).select(
+        "url", "sent_id", "sentence"
+    )
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.stages.extract import sentences, triples
+    from kgforge.stages.normalize import normalize
+
+    return triples(sentences(normalize(_fixture_webdocs(spark, sf_dir)))).select(
+        "url", "sent_id", "subj", "pred", "obj", "conf"
+    )
+
+
+def _kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.stages.extract import sentences, triples
+    from kgforge.stages.link import link, mentions
+    from kgforge.stages.normalize import normalize
+
+    trip = triples(sentences(normalize(_fixture_webdocs(spark, sf_dir))))
+    return link(mentions(trip), _fixture_alias(spark, sf_dir))
+
+
+def _kg_edges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.stages.canonicalize import canonical_map, rewrite_triples
+    from kgforge.stages.extract import sentences, triples
+    from kgforge.stages.link import link, mentions, same_as_edges
+    from kgforge.stages.normalize import normalize
+
+    alias_df = _fixture_alias(spark, sf_dir)
+    trip = triples(sentences(normalize(_fixture_webdocs(spark, sf_dir))))
+    ents = link(mentions(trip), alias_df)
+    edges = rewrite_triples(trip, canonical_map(ents, same_as_edges(alias_df)))
+    return (
+        edges.groupBy("subj_id", "pred", "obj_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("subj_id"), F.asc("pred"), F.asc("obj_id"))
+        .limit(20)
+    )
+
+
+def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → typed metadata via the fake
+    decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
+    from kgforge.functions.multimodal import extract_media_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    meta = extract_media_meta(docs, "doc_id", "payload", backend="fake")
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: full KG pipeline → top canonical edges."""
+    return _kg_edges_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgforge.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out.update(
+        {
+            "kg_normalize": _kg_normalize,
+            "kg_sentences": _kg_sentences,
+            "kg_triples": _kg_triples,
+            "kg_entities": _kg_entities,
+            "kg_edges_topk": _kg_edges_topk,
+            "kg_media_meta": _kg_media_meta,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgforge.oracles import ORACLES
+
+    return dict(ORACLES)

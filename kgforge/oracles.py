@@ -1,0 +1,399 @@
+"""DuckDB oracle SQL for every entry in ``kgforge.queries.QUERIES``.
+
+Each statement is ANSI-flavored SQL executable by DuckDB against the same
+parquet tables (pre-registered views: region nation customer supplier part
+orders lineitem events documents embeddings). Column aliases, rounding, and
+tie-breaks match the Spark implementations exactly (driver compare is
+row-count + schema + order-insensitive value hash over name-sorted columns).
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["scan_dropna"] = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars
+FROM documents
+WHERE text IS NOT NULL AND length(trim(text)) > 0
+GROUP BY lang
+"""
+
+ORACLES["even_line_sampling"] = """
+WITH numbered AS (
+  SELECT *, row_number() OVER (ORDER BY event_id) AS rn FROM events
+)
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM numbered WHERE rn % 2 = 1
+GROUP BY event_type
+"""
+
+ORACLES["anti_join"] = """
+SELECT count(*) AS n_customers, min(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ORACLES["deterministic_split"] = """
+SELECT CASE WHEN ((o_orderkey * 2654435761) % 4294967296) % 10 < 8
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["revenue_topk"] = """
+SELECT c_custkey, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY c_custkey, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["distinct_dense_ids"] = """
+SELECT event_type,
+       row_number() OVER (ORDER BY event_type) - 1 AS tag_id
+FROM (SELECT DISTINCT event_type FROM events)
+"""
+
+ORACLES["class_weights"] = """
+WITH counts AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+), tot AS (
+  SELECT sum(cnt) AS n, count(*) AS k FROM counts
+)
+SELECT event_type, cnt,
+       round(CASE WHEN ln(n / (k * cnt)) < 1.0 THEN 1.0
+                  ELSE ln(n / (k * cnt)) END, 4) AS weight
+FROM counts, tot
+"""
+
+ORACLES["confusion_report"] = """
+WITH preds AS (
+  SELECT event_type AS label,
+         CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS pred
+  FROM events
+), cm AS (
+  SELECT label, pred, count(*) AS n FROM preds GROUP BY label, pred
+), tp AS (
+  SELECT label AS cls, n AS tp FROM cm WHERE label = pred
+), pred_tot AS (
+  SELECT pred, sum(n) AS pred_n FROM cm GROUP BY pred
+), label_tot AS (
+  SELECT label, sum(n) AS label_n FROM cm GROUP BY label
+)
+SELECT cls,
+       round(tp / pred_n, 4) AS precision,
+       round(tp / label_n, 4) AS recall
+FROM tp JOIN pred_tot ON cls = pred JOIN label_tot ON cls = label
+"""
+
+ORACLES["interleave_sources"] = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+  FROM documents WHERE source IN ('src0', 'src1')
+)
+SELECT rank, source, doc_id FROM ranked
+ORDER BY rank, source LIMIT 100
+"""
+
+ORACLES["word_frequency"] = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS cnt
+FROM toks WHERE length(token) > 0
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 50
+"""
+
+ORACLES["mask_chain"] = """
+WITH masked AS (
+  SELECT lang,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z0-9-.]+', '<EMAIL>', 'g'),
+             'https?:\\/\\/[!-~]+', '<URL>', 'g'),
+           '[0-9]*[.]?[0-9]+[%]?', '<NUM>', 'g') AS m
+  FROM documents
+)
+SELECT lang, count(*) AS n, sum(length(m)) AS sum_len
+FROM masked GROUP BY lang
+"""
+
+ORACLES["text_quality"] = """
+WITH stats AS (
+  SELECT lang, source,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> length(x) > 0)) AS n_tok,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> list_contains(['the','a','an','and','or','of'], x)))
+           AS n_stop,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(text) AS n_char
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_tok) AS sum_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       round(sum(n_stop) * 1.0 / sum(n_tok), 6) AS stopword_ratio,
+       round(sum(n_digit) * 1.0 / sum(n_char), 6) AS digit_ratio
+FROM stats GROUP BY lang, source
+"""
+
+ORACLES["langid_heuristic"] = """
+WITH g AS (
+  SELECT lang,
+         CASE WHEN
+           length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0
+             / greatest(length(text), 1) > 0.99
+           AND len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> list_contains(['the','and','of','to','a'], x))) >= 1
+         THEN 'en' ELSE 'other' END AS guess
+  FROM documents
+)
+SELECT lang, guess, count(*) AS n FROM g GROUP BY lang, guess
+"""
+
+ORACLES["token_count_bpeish"] = """
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           AS n_tok
+  FROM documents
+)
+SELECT source, sum(n_tok) AS total_tokens, round(avg(n_tok), 4) AS avg_tokens
+FROM t GROUP BY source
+"""
+
+ORACLES["doc_fingerprint"] = """
+WITH fp AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> length(x) > 0))), ' ')) AS fingerprint
+  FROM documents
+), grouped AS (
+  SELECT fingerprint, count(*) AS n FROM fp GROUP BY fingerprint HAVING count(*) > 1
+)
+SELECT count(*) AS dup_fingerprints,
+       coalesce(sum(n), 0) AS docs_in_dups
+FROM grouped
+"""
+
+ORACLES["dedup_exact"] = """
+WITH g AS (
+  SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS survivor
+  FROM documents GROUP BY md5(text)
+)
+SELECT count(*) AS n_unique, sum(n - 1) AS n_removed FROM g
+"""
+
+_SHINGLES_CTE = """
+  toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> length(x) > 0) AS t
+    FROM documents WHERE doc_id < 500
+  ), idx AS (
+    SELECT doc_id, t, unnest(range(greatest(len(t) - 2, 0))) AS i FROM toks
+  ), sh AS (
+    SELECT DISTINCT doc_id,
+           t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
+    FROM idx
+  )
+"""
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT d1, d2,
+         round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+)
+SELECT count(*) AS n_pairs,
+       round(coalesce(avg(jaccard), 0.0), 6) AS avg_jaccard
+FROM jac WHERE jaccard >= 0.6
+"""
+
+ORACLES["minhash_lsh_candidates"] = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, band,
+         min(md5(band::VARCHAR || '|' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(8)) AS band)
+  GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+)
+SELECT count(*) AS n_candidate_pairs,
+       coalesce(min(d1), -1) AS min_d1
+FROM cand
+"""
+
+ORACLES["simhash_buckets"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'),
+           x -> length(x) > 0))) AS token
+  FROM documents
+), votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(token), bit + 1, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT unnest(range(16)) AS bit)
+  GROUP BY doc_id, bit
+), sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n FROM sim
+GROUP BY simhash HAVING count(*) > 0
+ORDER BY n DESC, simhash ASC
+LIMIT 30
+"""
+
+ORACLES["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb
+  FROM embeddings WHERE vec_id >= 5
+), pairs AS (
+  SELECT q_id, c_id,
+         round(list_cosine_similarity(q_emb, c_emb), 4) AS cos
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM pairs
+)
+SELECT q_id, c_id, cos FROM ranked WHERE rn <= 10
+"""
+
+ORACLES["knn_label_vote"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb, label
+  FROM embeddings WHERE vec_id >= 5
+), pairs AS (
+  SELECT q_id, c_id, label,
+         round(list_cosine_similarity(q_emb, c_emb), 4) AS cos
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT q_id, c_id, label,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM pairs
+), votes AS (
+  SELECT q_id, label, count(*) AS n FROM ranked WHERE rn <= 10
+  GROUP BY q_id, label
+), best AS (
+  SELECT q_id, label, n,
+         row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label ASC)
+           AS rn
+  FROM votes
+)
+SELECT q_id, label AS pred_label, n AS votes FROM best WHERE rn = 1
+"""
+
+ORACLES["lsh_bucketed_ann"] = """
+WITH planes AS (
+  SELECT p.plane, d.d,
+         CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5(p.plane::VARCHAR || ',' || d.d::VARCHAR), 1, 1))
+                 - 1) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(8)) AS plane) p,
+       (SELECT unnest(range(16)) AS d) d
+), comp AS (
+  SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x
+  FROM embeddings, (SELECT unnest(range(16)) AS d)
+), dots AS (
+  SELECT vec_id, plane, sum(x * w) AS dot
+  FROM comp JOIN planes USING (d)
+  GROUP BY vec_id, plane
+), sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END)
+           AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n FROM sig
+GROUP BY bucket ORDER BY n DESC, bucket ASC LIMIT 30
+"""
+
+ORACLES["tumbling_window_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY n DESC, window_start ASC, event_type ASC
+LIMIT 50
+"""
+
+ORACLES["sessionize"] = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+  FROM gaps GROUP BY user_id
+)
+SELECT n_sessions, count(*) AS n_users, sum(n_events) AS sum_events
+FROM sess GROUP BY n_sessions
+"""
+
+ORACLES["multimodal_meta"] = """
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN length(text) > 0 AND ascii(substr(text, 1, 1)) < 128
+              THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte
+  FROM documents
+)
+SELECT first_byte, count(*) AS n, sum(n_bytes) AS total_bytes
+FROM meta GROUP BY first_byte
+"""

@@ -1,0 +1,700 @@
+"""Driver-contract queries: each entry implements an operator family from
+SURVEY.md §2 (or a training-data-pipeline operator) over the shared test
+tables (region nation customer supplier part orders lineitem events
+documents embeddings), Spark-first, with a matching ANSI-SQL oracle in
+``kgforge.oracles`` runnable by DuckDB on the same parquet files.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value hash over name-sorted columns):
+- every computed column is aliased identically here and in the oracle;
+- floating aggregates are rounded (4-6 dp) on both sides;
+- top-k queries order by (measure, unique key) so the result SET is
+  deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / sampling  (SURVEY §2.1, §2.3, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/F1/F3: scan + dropna + empty-filter + per-key counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.na.drop(subset=["text"])
+        .where(F.length(F.trim("text")) > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_even_line_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: take every 2nd row in a deterministic ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/J5: left-anti join — customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O4 with resume-safe hash-of-key randomness (SURVEY §4.3-5):
+    deterministic 80/20 split via modular hashing, not RNG state."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        orders.withColumn(
+            "split",
+            F.when((bucket % 10) < 8, F.lit("train")).otherwise(F.lit("val")),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core: aggregations / joins / top-k  (SURVEY §2.5-2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregate (A2/A3/A5-class reductions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (broadcast dims) + grouped revenue + deterministic top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q_distinct_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: distinct values + dense ordinal ids."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    return (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("tag_id", F.row_number().over(w) - 1)
+    )
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: balanced class weights n/(k*count_c), log-damped, floored at 1
+    (general_ner_train.py:136-158 semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    n = counts.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    total, k = int(n["n"]), int(n["k"])
+    w = F.log(F.lit(float(total)) / (F.lit(float(k)) * F.col("cnt")))
+    return counts.select(
+        "event_type",
+        "cnt",
+        F.round(F.when(w < 1.0, F.lit(1.0)).otherwise(w), 4).alias("weight"),
+    )
+
+
+def q_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/M6: confusion matrix + per-class precision/recall (the evaluation
+    report shape reused by the triple P/R harness). 'Predictions' are a
+    deterministic perturbation of the label."""
+    ev = _t(spark, sf_dir, "events")
+    pred = F.when(
+        (F.col("event_id") % 7) == 0, F.lit("click")
+    ).otherwise(F.col("event_type"))
+    cm = (
+        ev.select(F.col("event_type").alias("label"), pred.alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tp = cm.where(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("cls"), F.col("n").alias("tp")
+    )
+    pred_tot = cm.groupBy("pred").agg(F.sum("n").alias("pred_n"))
+    label_tot = cm.groupBy("label").agg(F.sum("n").alias("label_n"))
+    return (
+        tp.join(pred_tot, tp["cls"] == pred_tot["pred"])
+        .join(label_tot, tp["cls"] == label_tot["label"])
+        .select(
+            "cls",
+            F.round(F.col("tp") / F.col("pred_n"), 4).alias("precision"),
+            F.round(F.col("tp") / F.col("label_n"), 4).alias("recall"),
+        )
+    )
+
+
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6/O5: round-robin interleave of two corpora via per-source ranks."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("source") == "src0")
+    b = docs.where(F.col("source") == "src1")
+    wa = Window.partitionBy("source").orderBy("doc_id")
+    u = a.unionByName(b).withColumn("rank", F.row_number().over(wa))
+    return (
+        u.orderBy("rank", "source")
+        .limit(100)
+        .select("rank", "source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R7: whitespace tokenize + explode + top-50 tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_mask_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6/P9-class sentinel masking as JVM-side regexp_replace chain,
+    checksummed per lang (patterns from utils/constant.py:12-15,69)."""
+    docs = _t(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-.]+",
+                "<EMAIL>",
+            ),
+            r"https?:\/\/[!-~]+",
+            "<URL>",
+        ),
+        r"[0-9]*[.]?[0-9]+[%]?",
+        "<NUM>",
+    )
+    return (
+        docs.select("lang", masked.alias("masked"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("masked")).alias("sum_len"),
+        )
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token counts, mean word length, stopword ratio,
+    digit ratio — aggregated per (lang, source)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "an", "and", "or", "of"))
+    )
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    return (
+        docs.select(
+            "lang",
+            "source",
+            n_tok.alias("n_tok"),
+            n_stop.alias("n_stop"),
+            n_digit.alias("n_digit"),
+            F.length("text").alias("n_char"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(
+                F.sum("n_stop") / F.sum("n_tok"), 6
+            ).alias("stopword_ratio"),
+            F.round(
+                F.sum("n_digit") / F.sum("n_char"), 6
+            ).alias("digit_ratio"),
+        )
+    )
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language-ID heuristic (ASCII + stopword evidence) scored
+    against the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    ascii_ratio = F.length(
+        F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    en_stops = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: t.isin("the", "and", "of", "to", "a"),
+        )
+    )
+    guess = F.when(
+        (ascii_ratio > 0.99) & (en_stops >= 1), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return (
+        docs.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (word pieces + digits + other)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
+    return (
+        docs.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (order-insensitive content hash); returns duplicate-fingerprint stats."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+        )
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(toks)))
+    return (
+        docs.select(fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("dup_fingerprints"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("docs_in_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: survivors = min doc_id per
+    hash; returns survivor count + total removed."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("survivor")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n") - 1).alias("n_removed"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-gram shingle Jaccard ≥ 0.6 over a bounded doc
+    subset (set-similarity self-join via shingle inverted index — the
+    shuffle pattern that scales; the doc_id bound keeps the oracle cheap)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda _, i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+    )
+    return jac.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.coalesce(F.avg("jaccard"), F.lit(0.0)), 6).alias("avg_jaccard"),
+    )
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 md5-keyed min-hashes over 3-gram
+    shingles, band size 1 → candidate pairs sharing any band value.
+    md5 is identical across engines so the oracle agrees bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda _, i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    bands = spark.range(8).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.coalesce(F.min("d1"), F.lit(-1)).alias("min_d1"),
+    )
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, token-hash majority vote) bucket histogram.
+    Built from md5-derived per-token bits so DuckDB reproduces it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+        )
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("token"))
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        tok.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(token), bit + 1, 1), 16, 10)"
+                " AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+            ).alias("vote"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END")
+        ).alias("simhash")
+    )
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 0)
+        .orderBy(F.desc("n"), F.asc("simhash"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (baseline ANN path):
+    JVM-side dot products via zip_with/aggregate — no Python in the loop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 4).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("q_id", "c_id", "cos")
+    )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-label classification of query vectors (k=10) —
+    composition of the ANN scan with a grouped vote."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = q_ann_cosine_topk(spark, sf_dir)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("c_id"), "label"), "c_id"
+    )
+    votes = labeled.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), F.col("n").alias("votes"))
+    )
+
+
+def q_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH buckets (sign of dot with
+    md5-seeded ±1 planes) shrink the candidate set; report bucket sizes.
+    The plane signs derive from md5(dim,plane) so the oracle matches."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = spark.range(0, 8).select(F.col("id").cast("int").alias("plane"))
+    planes = dims.crossJoin(
+        spark.range(0, 16).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        "plane",
+        "d",
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat_ws(',', plane, d)), 1, 1),"
+            " 16, 10) AS INT) % 2 = 1 THEN 1.0D ELSE -1.0D END"
+        ).alias("w"),
+    )
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).where(F.col("d") < 16)
+    dots = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.expr("CASE WHEN dot > 0 THEN shiftleft(1L, plane) ELSE 0L END")
+        ).alias("bucket")
+    )
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bucket"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (windowing / sessionization — batch form of §2.10)
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window event counts per type (top 50 windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.desc("n"), F.asc("window_start"), F.asc("event_type"))
+        .limit(50)
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap splits sessions per user;
+    report session-count distribution."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ in parquet; route via timestamp for epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sess.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("sum_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (opaque binary + typed metadata; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat text payloads as opaque binary blobs and extract typed
+    metadata with an Arrow-batched mapInPandas (the real decode — image/
+    audio — is stubbed in kgforge.functions.multimodal; the Spark-side
+    plumbing here is the production shape: binary column in, typed
+    struct out, no per-row Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: int(b[0]) if len(b) and b[0] < 128 else -1
+                    ).astype("int64"),
+                }
+            )
+
+    out = src.mapInPandas(meta, "doc_id long, n_bytes long, first_byte long")
+    return out.groupBy("first_byte").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_dropna": q_scan_dropna,
+    "even_line_sampling": q_even_line_sampling,
+    "anti_join": q_anti_join,
+    "deterministic_split": q_deterministic_split,
+    "pricing_summary": q_pricing_summary,
+    "revenue_topk": q_revenue_topk,
+    "distinct_dense_ids": q_distinct_dense_ids,
+    "class_weights": q_class_weights,
+    "confusion_report": q_confusion_report,
+    "interleave_sources": q_interleave_sources,
+    "word_frequency": q_word_frequency,
+    "mask_chain": q_mask_chain,
+    "text_quality": q_text_quality,
+    "langid_heuristic": q_langid_heuristic,
+    "token_count_bpeish": q_token_count_bpeish,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash_buckets": q_simhash_buckets,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "knn_label_vote": q_knn_label_vote,
+    "lsh_bucketed_ann": q_lsh_bucketed_ann,
+    "tumbling_window_counts": q_tumbling_window_counts,
+    "sessionize": q_sessionize,
+    "multimodal_meta": q_multimodal_meta,
+}

@@ -1,0 +1,41 @@
+"""Driver-contract smoke tests: entry() runs and yields rows with a stable
+schema; every oracle has a query; multimodal fake-decode plumbing works.
+(The full Spark-vs-DuckDB value comparison runs via
+tools/check_correctness.py — 26/26 at sf0.001 and sf0.01.)"""
+
+import __spark_entry__ as entrymod
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(oracles) >= 25
+    # KG queries are intentionally rows-only (Python-defined semantics)
+    assert {"kg_normalize", "kg_triples", "kg_edges_topk"} <= set(qs)
+
+
+def test_entry_returns_edges(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["subj_id", "pred", "obj_id", "n"]
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert rows[0]["n"] >= rows[-1]["n"]
+
+
+def test_multimodal_fake_decode(spark):
+    from kgforge.functions.multimodal import extract_media_meta
+
+    df = spark.createDataFrame(
+        [(1, b"payload-a"), (2, b"payload-b"), (3, b"")],
+        "k long, payload binary",
+    )
+    got = {r["key"]: r for r in extract_media_meta(df, "k", "payload").collect()}
+    assert got[1]["n_bytes"] == 9
+    assert got[1]["format"] in {"png", "jpeg", "webp"}
+    assert got[1]["width"] >= 64 and got[1]["height"] >= 64
+    # deterministic across runs
+    again = {r["key"]: r for r in extract_media_meta(df, "k", "payload").collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness harness: run each
+kgforge.queries entry on Spark AND its kgforge.oracles SQL on DuckDB over
+the same parquet tables, compare row count + name-sorted order-insensitive
+values. Usage:
+
+    python tools/check_correctness.py [query ...] [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import decimal
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return int(v)
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
+    args = ap.parse_args()
+
+    import duckdb
+
+    from kgforge.oracles import ORACLES
+    from kgforge.queries import QUERIES
+    from kgforge.session import get_spark
+
+    spark = get_spark("kgforge-correctness", master="local[8]", shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    names = args.names or sorted(QUERIES)
+    failed = []
+    for name in names:
+        try:
+            sdf = QUERIES[name](spark, args.sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+            sset, sorted_cols = _rowset(scols, [tuple(r) for r in srows])
+            if name not in ORACLES:
+                print(f"{name:28s} SPARK-ONLY rows={len(srows)}")
+                continue
+            res = con.execute(ORACLES[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            dset, _ = _rowset(dcols, drows)
+            ok_cols = sorted(scols) == sorted(dcols)
+            ok_count = len(sset) == len(dset)
+            ok_vals = sset == dset
+            status = "OK" if (ok_cols and ok_count and ok_vals) else "MISMATCH"
+            print(
+                f"{name:28s} {status} rows={len(srows)}/{len(drows)} "
+                f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'}"
+            )
+            if status != "OK":
+                failed.append(name)
+                if ok_cols and not ok_vals:
+                    sonly = [r for r in sset if r not in set(dset)][:3]
+                    donly = [r for r in dset if r not in set(sset)][:3]
+                    print(f"    cols order: {sorted_cols}")
+                    print(f"    spark-only: {sonly}")
+                    print(f"    duck-only : {donly}")
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"{name:28s} ERROR {type(exc).__name__}: {str(exc)[:300]}")
+    spark.stop()
+    print(f"\n{len(names) - len(failed)}/{len(names)} ok; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
