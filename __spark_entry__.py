@@ -93,15 +93,17 @@ def _kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_edges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kgforge.stages.canonicalize import canonical_map, rewrite_triples
+    from kgforge.stages.canonicalize import rewrite_triples
     from kgforge.stages.extract import sentences, triples
-    from kgforge.stages.link import link, mentions, same_as_edges
+    from kgforge.stages.link import alias_resolution
     from kgforge.stages.normalize import normalize
 
     alias_df = _fixture_alias(spark, sf_dir)
+    mention_map = alias_resolution(alias_df).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
     trip = triples(sentences(normalize(_fixture_webdocs(spark, sf_dir))))
-    ents = link(mentions(trip), alias_df)
-    edges = rewrite_triples(trip, canonical_map(ents, same_as_edges(alias_df)))
+    edges = rewrite_triples(trip, mention_map)
     return (
         edges.groupBy("subj_id", "pred", "obj_id")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -116,9 +116,11 @@ def _distractor_sentence(doc_id: int, s_ix: int) -> str:
 
 
 def doc_sentences(doc_id: int, n_ent: int) -> list[str]:
-    """Punctuated ground-truth sentences for one doc."""
+    """Punctuated ground-truth sentences for one doc. Lengths mimic web
+    pages (~150-250 words typical; ~2% long docs exceed the 256-token
+    chunking threshold)."""
     is_long = _h("long", doc_id) % 50 == 0  # ~2% exceed 256 tokens
-    n_sent = (30 + _h("nsl", doc_id) % 10) if is_long else (3 + _h("ns", doc_id) % 5)
+    n_sent = (45 + _h("nsl", doc_id) % 20) if is_long else (14 + _h("ns", doc_id) % 14)
     sentences = []
     for s in range(n_sent):
         if _h("kind", doc_id, s) % 4 < 3:  # 3:1 triple-bearing : distractor

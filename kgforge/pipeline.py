@@ -12,18 +12,15 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kgforge.io import tables
-from kgforge.stages.canonicalize import (
-    canonical_map,
-    edges_with_day,
-    rewrite_triples,
-)
+from kgforge.stages.canonicalize import edges_with_day, rewrite_triples
 from kgforge.stages.extract import sentences, triples
-from kgforge.stages.link import link, mentions, same_as_edges
+from kgforge.stages.link import alias_resolution, link_with_map, mentions
 from kgforge.stages.normalize import normalize
 
-STAGES = ["norm_text", "sentences", "triples_raw", "entities", "edges"]
+STAGES = ["alias_map", "norm_text", "sentences", "triples_raw", "entities", "edges"]
 
 
 def run_pipeline(
@@ -56,18 +53,23 @@ def run_pipeline(
     webdocs = spark.read.parquet(webdocs_path)
     alias_df = spark.read.parquet(alias_path)
 
+    # reference-data prep: dictionary-only, document-independent (recomputed
+    # per dictionary version, not per batch)
+    alias_map = stage("alias_map", lambda: (alias_resolution(alias_df), None))
+
     norm = stage("norm_text", lambda: (normalize(webdocs, backend=backend), None))
     sent = stage("sentences", lambda: (sentences(norm), None))
     trip = stage("triples_raw", lambda: (triples(sent), None))
     ents = stage(
-        "entities", lambda: (link(mentions(trip), alias_df), None)
+        "entities", lambda: (link_with_map(mentions(trip), alias_map), None)
+    )
+    mention_map = alias_map.select(
+        F.col("alias").alias("mention"), "canon_id"
     )
     edges = stage(
         "edges",
         lambda: (
-            edges_with_day(
-                rewrite_triples(trip, canonical_map(ents, same_as_edges(alias_df)))
-            ),
+            edges_with_day(rewrite_triples(trip, mention_map)),
             ["day"],
         ),
     )

@@ -83,6 +83,57 @@ def link(mentions_df: DataFrame, alias_df: DataFrame) -> DataFrame:
     )
 
 
+def alias_resolution(alias_df: DataFrame) -> DataFrame:
+    """Reference-data prep (dictionary-only, document-independent): resolve
+    every alias to its best entity (same scoring as ``link``) and then to
+    its canonical component id via sameAs connected components. Runs once
+    per dictionary version — the per-batch document stream then needs only
+    broadcast joins against this map, so no per-batch linking jobs gate
+    throughput. Output: alias_map(alias, canon_id, score)."""
+    from kgforge.graph.cc import connected_components
+
+    scored = alias_df.withColumn(
+        "score", _pair_score(F.col("alias"), F.col("canon"), F.col("prior"))
+    )
+    w = Window.partitionBy("alias").orderBy(
+        F.desc("score"), F.asc_nulls_last("entity_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("alias", "entity_id", "score")
+    )
+    labels = connected_components(same_as_edges(alias_df))
+    return (
+        best.join(F.broadcast(labels), best["entity_id"] == labels["node"], "left")
+        .select(
+            "alias",
+            F.coalesce(F.col("component"), F.col("entity_id")).alias("canon_id"),
+            "score",
+        )
+    )
+
+
+def link_with_map(mentions_df: DataFrame, alias_map: DataFrame) -> DataFrame:
+    """Per-batch linking: one broadcast join against the precomputed alias
+    map; unmatched mentions get deterministic self-entities. Equivalent to
+    ``link``+``canonical_map`` for exact-match aliases (the extractor emits
+    exact lowercase surface forms), without per-batch scoring jobs."""
+    joined = mentions_df.join(
+        F.broadcast(alias_map),
+        mentions_df["mention"] == alias_map["alias"],
+        "left",
+    )
+    return joined.select(
+        "mention",
+        F.coalesce(
+            F.col("canon_id"),
+            F.concat(F.lit("M#"), F.substring(F.md5(F.col("mention")), 1, 12)),
+        ).alias("canon_id"),
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+    )
+
+
 def same_as_edges(alias_df: DataFrame) -> DataFrame:
     """sameAs pairs: distinct entity_ids registered under an identical
     (alias, canon) — duplicate registrations of the same real-world entity.

@@ -50,13 +50,21 @@ def normalize(
     """webdocs(url, warc_ts, html, text, lang) → norm_text(url, text_norm,
     labels, n_tokens, n_chunks)."""
 
+    from kgforge.textnorm.constants import currency_regex_pattern
+
+    currency_pattern = currency_regex_pattern()  # driver-side scan, shipped
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgforge.textnorm.constants import prime_currency_pattern
         from kgforge.textnorm.tagger import get_tagger
 
+        prime_currency_pattern(currency_pattern)
         taggers: dict[str, object] = {}  # worker-local singletons per lang
         for pdf in batches:
             urls, langs, norms, labels_col, n_tokens, n_chunks = [], [], [], [], [], []
-            for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
+            for url, text, lang in zip(
+                pdf["url"].tolist(), pdf["text"].tolist(), pdf["lang"].tolist()
+            ):
                 lang = lang or "en"
                 tagger = taggers.get(lang)
                 if tagger is None:

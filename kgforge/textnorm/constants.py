@@ -75,17 +75,32 @@ def all_puncs() -> tuple[int, ...]:
     )
 
 
-@lru_cache(maxsize=1)
+_CURRENCY_PATTERN: str | None = None
+
+
 def currency_regex_pattern() -> str:
     """CURRENCY pattern string built from every ``Sc`` codepoint
     (constant.py:58-67). The leading ``\\`` escapes the first currency
-    char (``$``), exactly as the reference's format string does."""
-    currency_list = "|".join(
-        chr(c)
-        for c in range(sys.maxunicode)
-        if unicodedata.category(chr(c)).startswith(("Sc"))
-    )
-    return r"(\{})\d+([.,]?\d*)*([A-Za-z]+)?".format(currency_list)
+    char (``$``), exactly as the reference's format string does.
+
+    The full-Unicode scan costs ~1s; Spark stages precompute it on the
+    driver and ship the string to executors via ``prime_currency_pattern``
+    in the UDF closure (SURVEY.md §4.1: never pay the scan per executor)."""
+    global _CURRENCY_PATTERN
+    if _CURRENCY_PATTERN is None:
+        currency_list = "|".join(
+            chr(c)
+            for c in range(sys.maxunicode)
+            if unicodedata.category(chr(c)).startswith(("Sc"))
+        )
+        _CURRENCY_PATTERN = r"(\{})\d+([.,]?\d*)*([A-Za-z]+)?".format(currency_list)
+    return _CURRENCY_PATTERN
+
+
+def prime_currency_pattern(pattern: str) -> None:
+    """Install a driver-precomputed CURRENCY pattern (executor fast path)."""
+    global _CURRENCY_PATTERN
+    _CURRENCY_PATTERN = pattern
 
 
 @lru_cache(maxsize=1)

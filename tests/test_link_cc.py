@@ -103,6 +103,7 @@ def _oracle_components(pairs):
     return {n: uf.find(n) for n in list(uf.p)}
 
 
+@pytest.mark.parametrize("threshold", [200_000, 0])  # driver path + star path
 @pytest.mark.parametrize(
     "pairs",
     [
@@ -111,14 +112,18 @@ def _oracle_components(pairs):
         [("a", "b"), ("x", "y"), ("y", "z"), ("p", "q")],  # 3 components
     ],
 )
-def test_cc_small_graphs(spark, pairs):
+def test_cc_small_graphs(spark, pairs, threshold):
     e = spark.createDataFrame(pairs, "src string, dst string")
-    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, driver_threshold=threshold).collect()
+    }
     want = _oracle_components(pairs)
     assert got == want
 
 
-def test_cc_random_graph_matches_union_find(spark):
+@pytest.mark.parametrize("threshold", [200_000, 0])
+def test_cc_random_graph_matches_union_find(spark, threshold):
     import random
 
     rng = random.Random(7)
@@ -128,7 +133,10 @@ def test_cc_random_graph_matches_union_find(spark):
     ]
     pairs = [(a, b) for a, b in pairs if a != b]
     e = spark.createDataFrame(pairs, "src string, dst string")
-    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, driver_threshold=threshold).collect()
+    }
     want = _oracle_components(pairs)
     assert got == want
 

@@ -36,7 +36,9 @@ def test_pipeline_end_to_end_and_resume_identical(spark, fixture_paths, tmp_path
     # lineage table exists with per-partition rows for every stage
     lineage = spark.read.parquet(os.path.join(out1, "lineage"))
     stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
-    assert stages == {"norm_text", "sentences", "triples_raw", "entities", "edges"}
+    assert stages == {
+        "alias_map", "norm_text", "sentences", "triples_raw", "entities", "edges"
+    }
     sig_full = {
         s: _table_sig(spark, os.path.join(out1, s)) for s in stages
     }
