@@ -112,6 +112,42 @@ def _kg_edges_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_token_tag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export path (S6/R2/R3/R7): normalized fixture text →
+    cleaned → token/tag pairing → deterministic re-chunking; returns chunk
+    stats. Python-defined semantics → rows-only check (gated by
+    tests/test_corpus_training.py against the oracle)."""
+    from kgforge.stages.corpus import rechunk_corpus, token_tag_corpus
+    from kgforge.stages.normalize import normalize
+    from kgforge.textnorm.cleaning import clean_text, kept_removed_puncs, lower
+    from kgforge.textnorm.constants import DEFAULT_ENGLISH_NER_MAPPING
+
+    norm = normalize(_fixture_webdocs(spark, sf_dir)).where(F.col("lang") == "en")
+    kept, removed = kept_removed_puncs(DEFAULT_ENGLISH_NER_MAPPING)
+
+    import pandas as pd
+
+    def clean(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["url"],
+                    "line": [
+                        clean_text(t or "", kept, removed, lower)
+                        for t in pdf["text_norm"].tolist()
+                    ],
+                }
+            )
+
+    cleaned = norm.select("url", "text_norm").mapInPandas(
+        clean, "doc_id string, line string"
+    )
+    chunks = rechunk_corpus(token_tag_corpus(cleaned), 8, 64)
+    return chunks.groupBy(F.size("tokens").alias("chunk_len")).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+
+
 def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via the fake
     decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
@@ -145,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_entities": _kg_entities,
             "kg_edges_topk": _kg_edges_topk,
             "kg_media_meta": _kg_media_meta,
+            "kg_token_tag_corpus": _kg_token_tag_corpus,
         }
     )
     return out

@@ -386,6 +386,48 @@ SELECT n_sessions, count(*) AS n_users, sum(n_events) AS sum_events
 FROM sess GROUP BY n_sessions
 """
 
+ORACLES["union_distinct"] = """
+WITH u AS (
+  SELECT DISTINCT v FROM (
+    SELECT event_type AS v FROM events
+    UNION ALL
+    SELECT lang AS v FROM documents
+  )
+)
+SELECT count(*) AS n_distinct, min(v) AS min_v FROM u
+"""
+
+ORACLES["token_accuracy"] = """
+SELECT round(avg(CASE WHEN
+         (CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END)
+           = event_type THEN 1 ELSE 0 END), 6) AS accuracy,
+       count(*) AS n
+FROM events
+"""
+
+ORACLES["max_seq_len"] = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> length(x) > 0)) AS n_tok
+  FROM documents
+)
+SELECT lang, max(n_tok) AS max_len, round(avg(n_tok), 4) AS avg_len
+FROM t GROUP BY lang
+"""
+
+ORACLES["embedding_near_dup"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 300
+), pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT count(*) AS n_pairs, coalesce(min(id1), -1) AS first_id
+FROM pairs WHERE cos >= 0.95
+"""
+
 ORACLES["multimodal_meta"] = """
 WITH meta AS (
   SELECT doc_id,

@@ -666,6 +666,74 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6: union of two label vocabularies + distinct."""
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("v"))
+    docs = _t(spark, sf_dir, "documents").select(F.col("lang").alias("v"))
+    u = ev.union(docs).distinct()
+    return u.agg(
+        F.count(F.lit(1)).alias("n_distinct"), F.min("v").alias("min_v")
+    )
+
+
+def q_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: masked mean(pred == label) — the token-accuracy reduction
+    (general_ner_train.py:423-441 semantics) over the deterministic
+    perturbation used by confusion_report."""
+    ev = _t(spark, sf_dir, "events")
+    pred = F.when(
+        (F.col("event_id") % 7) == 0, F.lit("click")
+    ).otherwise(F.col("event_type"))
+    return ev.select(
+        (pred == F.col("event_type")).cast("int").alias("hit")
+    ).agg(
+        F.round(F.avg("hit"), 6).alias("accuracy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_max_seq_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: max/avg token-sequence length per lang."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+        )
+    )
+    return docs.select("lang", n_tok.alias("n_tok")).groupBy("lang").agg(
+        F.max("n_tok").alias("max_len"), F.round(F.avg("n_tok"), 4).alias("avg_len")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): pairs of
+    vectors with cosine ≥ 0.95 in a bounded id range."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2")
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(dot / (norm(F.col("e1")) * norm(F.col("e2"))), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.95)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.min("id1"), F.lit(-1)).alias("first_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -697,4 +765,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window_counts": q_tumbling_window_counts,
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
+    "union_distinct": q_union_distinct,
+    "token_accuracy": q_token_accuracy,
+    "max_seq_len": q_max_seq_len,
+    "embedding_near_dup": q_embedding_near_dup,
 }
