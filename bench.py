@@ -1,17 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness — one JSON line on stdout.
 
-Runs the headline queries (KG pipeline end-to-end + representative
-relational/dedup/ANN queries) at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+Two parts:
+1. Representative operator queries from the driver contract at
+   ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+2. The KG document stream (fused normalize → sentences → triples →
+   canonical rewrite) over a parquet webdocs fixture generated once into a
+   temp dir (generation timed separately so kg numbers measure Spark work,
+   not driver-side fixture hashing) — reports docs/sec.
 
-    {"metric": "kgforge_headline_sec", "value": <total>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": "...", "docs_per_sec": ...}
-
-``--scaling`` additionally runs the KG pipeline at two parallelism levels
-(local[8] vs local[32]) on identical input and reports throughput at both
-plus scaling efficiency (sandbox stand-in for the north rule's N vs 4N
-executor clusters) — results land in BENCH.md via tools/run_scaling.py.
+Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32). Scaling-efficiency
+evidence (local[4] vs local[16], north rule N vs 4N) lives in
+tools/run_scaling.py → BENCH.md.
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,37 +30,75 @@ HEADLINE = [
     "word_frequency",
     "dedup_exact",
     "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_buckets",
     "ann_cosine_topk",
+    "embedding_near_dup",
     "sessionize",
+    "tumbling_window_counts",
     "text_quality",
+    "multimodal_meta",
 ]
 
-KG_QUERIES = ["kg_normalize", "kg_triples", "kg_edges_topk"]
+KG_BENCH_DOCS = int(os.environ.get("KGFORGE_BENCH_DOCS", "30000"))
 
 
 def run_bench(sf_dir: str, cpus: str) -> dict:
-    from __spark_entry__ import queries
-    from kgforge.session import get_spark
+    from pyspark.sql import functions as F
 
+    from __spark_entry__ import queries
+    from kgforge.fixtures.gen import write_fixture_tables
+    from kgforge.session import get_spark
+    from kgforge.stages.canonicalize import rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+    from kgforge.stages.normalize import normalize
+
+    n_cores = int(cpus) if cpus.isdigit() else 32
     spark = get_spark(
         "kgforge-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(16, int(cpus) * 2) if cpus.isdigit() else 32,
+        shuffle_partitions=max(16, n_cores * 2),
+        arrow_batch=2048,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
     )
     qs = queries()
     timings: dict[str, float] = {}
     total = 0.0
-    n_docs_kg = 0
-    for name in HEADLINE + KG_QUERIES:
+    for name in HEADLINE:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        qs[name](spark, sf_dir).count()
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
-        if name == "kg_normalize":
-            n_docs_kg = n
-    kg_sec = sum(timings[q] for q in KG_QUERIES)
+
+    # KG document stream over parquet input
+    fx = tempfile.mkdtemp(prefix="kgforge_bench_")
+    t0 = time.perf_counter()
+    webdocs_path, alias_path = write_fixture_tables(
+        spark, fx, KG_BENCH_DOCS, partitions=max(64, n_cores * 4)
+    )
+    fixture_gen_sec = round(time.perf_counter() - t0, 3)
+    webdocs = spark.read.parquet(webdocs_path)
+    alias_df = spark.read.parquet(alias_path)
+
+    t0 = time.perf_counter()
+    alias_map = alias_resolution(alias_df).localCheckpoint()
+    timings["kg_refdata"] = round(time.perf_counter() - t0, 3)
+    mention_map = alias_map.select(F.col("alias").alias("mention"), "canon_id")
+
+    t0 = time.perf_counter()
+    normalize(webdocs).write.format("noop").mode("overwrite").save()
+    timings["kg_normalize"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n_edges = rewrite_triples(extract_docstream(webdocs), mention_map).count()
+    timings["kg_docstream"] = round(time.perf_counter() - t0, 3)
+    total += timings["kg_refdata"] + timings["kg_normalize"] + timings["kg_docstream"]
+
     result = {
         "metric": "kgforge_headline_sec",
         "value": round(total, 3),
@@ -67,8 +106,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
-        "kg_docs": n_docs_kg,
-        "kg_docs_per_sec": round(n_docs_kg / kg_sec, 2) if kg_sec else None,
+        "kg_docs": KG_BENCH_DOCS,
+        "kg_edges": n_edges,
+        "kg_fixture_gen_sec": fixture_gen_sec,
+        "kg_docs_per_sec": round(KG_BENCH_DOCS / timings["kg_docstream"], 2),
     }
     spark.stop()
     return result
@@ -77,8 +118,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    result = run_bench(sf_dir, cpus)
-    print(json.dumps(result))
+    print(json.dumps(run_bench(sf_dir, cpus)))
     return 0
 
 

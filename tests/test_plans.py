@@ -1,0 +1,67 @@
+"""Physical-plan gates (SURVEY.md §4.2, the 100-TB posture): the canonical
+rewrite must broadcast the mention map (never sort-merge/shuffle the triple
+stream), the docstream must stay shuffle-free, and filters/projections must
+reach the parquet scan."""
+
+from pyspark.sql import functions as F
+
+from kgforge.fixtures.gen import gen_alias_rows, gen_webdocs_rows
+from kgforge.stages.canonicalize import rewrite_triples
+from kgforge.stages.docstream import extract_docstream
+from kgforge.stages.link import alias_resolution
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fixture(spark, n=50):
+    docs = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["text"], r["lang"]) for r in gen_webdocs_rows(n)],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    alias_df = spark.createDataFrame(
+        [
+            (r["alias"], r["entity_id"], r["canon"], r["prior"])
+            for r in gen_alias_rows(n)
+        ],
+        "alias string, entity_id string, canon string, prior double",
+    )
+    return docs, alias_df
+
+
+def test_docstream_no_shuffle(spark):
+    docs, _ = _fixture(spark)
+    plan = _plan(extract_docstream(docs))
+    assert "Exchange" not in plan
+
+
+def test_rewrite_uses_broadcast_joins_only(spark):
+    docs, alias_df = _fixture(spark)
+    mention_map = alias_resolution(alias_df).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    edges = rewrite_triples(extract_docstream(docs), mention_map)
+    plan = _plan(edges)
+    assert plan.count("BroadcastHashJoin") >= 2  # subj + obj rewrites
+    assert "SortMergeJoin" not in plan
+    # the triple stream must never be re-partitioned for the joins: shuffle
+    # exchanges may appear only on dictionary-side columns (alias scoring
+    # window), never on stream columns
+    import re
+
+    stream_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range)partitioning", ln)
+        and re.search(r"\b(subj|obj|url|pred|warc_ts)#", ln)
+    ]
+    assert stream_exchanges == [], stream_exchanges
+
+
+def test_scan_prunes_binary_column_in_docstream(spark, tmp_path):
+    docs, _ = _fixture(spark)
+    path = str(tmp_path / "docs")
+    docs.withColumn("rawpayload", F.encode("text", "utf-8")).write.parquet(path)
+    plan = _plan(extract_docstream(spark.read.parquet(path)))
+    assert "rawpayload" not in plan  # pruned at the scan
