@@ -67,6 +67,25 @@ def test_resume_skips_committed_stages(spark, fixture_paths, tmp_path):
     assert after["committed_at"] == before["committed_at"]  # not rewritten
 
 
+def test_resume_rebuilds_partial_uncommitted_write(spark, fixture_paths, tmp_path):
+    """A stage directory left WITHOUT a committed manifest (kill mid-write)
+    must be rebuilt, not trusted."""
+    webdocs_path, alias_path = fixture_paths
+    out = str(tmp_path / "run3")
+    run_pipeline(spark, webdocs_path, alias_path, out)
+    sig = _table_sig(spark, os.path.join(out, "entities"))
+    # simulate a torn write: remove the manifest, truncate the data
+    ent_dir = os.path.join(out, "entities")
+    os.remove(tables.manifest_path(ent_dir))
+    for f in os.listdir(ent_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(ent_dir, f))
+            break
+    run_pipeline(spark, webdocs_path, alias_path, out, resume=True)
+    assert tables.is_committed(ent_dir, "entities")
+    assert _table_sig(spark, ent_dir) == sig
+
+
 def test_hot_key_present_in_fixture(spark, fixture_paths):
     # the designated hot entity should dominate mentions (~30% of docs)
     webdocs_path, _ = fixture_paths
