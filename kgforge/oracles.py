@@ -428,6 +428,45 @@ SELECT count(*) AS n_pairs, coalesce(min(id1), -1) AS first_id
 FROM pairs WHERE cos >= 0.95
 """
 
+ORACLES["ivf_ann_topk"] = """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS c_emb
+  FROM embeddings WHERE vec_id < 16
+), q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id >= 16 AND vec_id < 21
+), cands AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id >= 21
+), assigned AS (
+  SELECT c_id, e, cent_id AS cell FROM (
+    SELECT c_id, e, cent_id,
+           row_number() OVER (PARTITION BY c_id
+             ORDER BY round(list_cosine_similarity(e, c_emb), 4) DESC,
+                      cent_id ASC) AS rn
+    FROM cands CROSS JOIN cents
+  ) WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_emb, cent_id AS cell FROM (
+    SELECT q_id, q_emb, cent_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY round(list_cosine_similarity(q_emb, c_emb), 4) DESC,
+                      cent_id ASC) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT q_id, c_id,
+         round(list_cosine_similarity(q_emb, e), 4) AS cos
+  FROM probes JOIN assigned USING (cell)
+)
+SELECT q_id, c_id, cos FROM (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, c_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
 ORACLES["multimodal_meta"] = """
 WITH meta AS (
   SELECT doc_id,

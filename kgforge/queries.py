@@ -734,6 +734,61 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (scale path beside LSH): deterministic coarse
+    centroids (vec_id < 16), every candidate assigned to its nearest cell,
+    queries probe their nprobe=4 nearest cells and rank only those cells'
+    candidates — the inverted-file pruning pattern. Top-5 per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), as_double.alias("c_emb")
+    )
+    queries_df = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 21)).select(
+        F.col("vec_id").alias("q_id"), as_double.alias("q_emb")
+    )
+    cands = emb.where(F.col("vec_id") >= 21).select(
+        F.col("vec_id").alias("c_id"), as_double.alias("e")
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.round(dot / (na * nb), 4)
+
+    w_cell = Window.partitionBy("c_id").orderBy(
+        F.desc("cell_cos"), F.asc("cent_id")
+    )
+    assigned = (
+        cands.crossJoin(F.broadcast(cents))
+        .select("c_id", "e", "cent_id", cos(F.col("e"), F.col("c_emb")).alias("cell_cos"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select("c_id", "e", F.col("cent_id").alias("cell"))
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.desc("q_cos"), F.asc("cent_id")
+    )
+    probes = (
+        queries_df.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_emb", "cent_id", cos(F.col("q_emb"), F.col("c_emb")).alias("q_cos"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= 4)
+        .select("q_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        probes.join(assigned, "cell")
+        .select("q_id", "c_id", cos(F.col("q_emb"), F.col("e")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "c_id", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -769,4 +824,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_accuracy": q_token_accuracy,
     "max_seq_len": q_max_seq_len,
     "embedding_near_dup": q_embedding_near_dup,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
