@@ -85,8 +85,14 @@ def salted_join(
     broadcast: salt the big side's key with ``pmod(xxhash64(key), K)`` and
     replicate the small side across the K salt values, so one hot key
     spreads over K reducers (SURVEY.md §4.3-1)."""
+    # salt from ALL columns, not the key: hashing the key alone would send
+    # every row of a hot key to the same bucket (no mitigation at all);
+    # full-row hashing spreads a hot key across buckets deterministically
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
     )
     salts = big.sparkSession.range(salt_buckets).select(
         F.col("id").cast("int").alias("_salt")

@@ -114,3 +114,19 @@ def test_salted_join_matches_plain_join(spark):
         F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
     ).collect()[0]
     assert plain == salted
+    # per-task input bound (SURVEY §5.2-5): the hot key's rows must spread
+    # across salt buckets, so no single (key, salt) group exceeds ~2/K of
+    # the hot key's total
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)).cast("int"),
+    )
+    hot_total = big.where("k = 'hot'").count()
+    max_group = (
+        salted_big.where("k = 'hot'")
+        .groupBy("_salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_group <= hot_total * 2 / 8
