@@ -131,6 +131,33 @@ def test_chinese_split():
     assert chinese_split("中文abc中文") == " 中 文 abc 中 文 "
 
 
+def test_keep_only_latin_characters():
+    from kgforge.textnorm.cleaning import keep_only_latin_characters
+
+    # keeps U+0020..U+024F (latin incl. extensions), drops the rest
+    # non-latin chars deleted, surrounding spaces kept
+    assert keep_only_latin_characters("abc ɏ 中文 ёж é") == "abc ɏ   é"
+
+
+def test_long_chinese_doc_chunks_and_merges():
+    # chinese_split turns each CJK char into a token → >256 chars chunk;
+    # merge must keep zh no-space joining across the chunk boundary
+    from kgforge.textnorm.constants import DEFAULT_CHINESE_TAG_PUNCTUATOR_MAP
+    from kgforge.textnorm.tagger import MockTagger
+
+    text = "天地玄黄宇宙洪荒" * 40  # 320 CJK chars → 2 chunks
+    out, labels = punctuate_one(
+        text, MockTagger("zh"), DEFAULT_CHINESE_TAG_PUNCTUATOR_MAP
+    )
+    assert len(labels) == 320
+    # non-ASCII: no spaces anywhere except those introduced by "? "/"! "
+    stripped = out.replace("? ", "？").replace("! ", "！")
+    assert " " not in stripped
+    # all original characters survive, in order
+    kept = [c for c in out if c in set("天地玄黄宇宙洪荒")]
+    assert "".join(kept) == text
+
+
 def test_produce_sample_text():
     assert produce_sample_text("Hello, World! It's 5.") == "hello world its 5"
 
