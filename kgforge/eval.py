@@ -32,15 +32,27 @@ def classification_report(
     )
     pred_tot = cm.groupBy("pred").agg(F.sum("n").alias("pred_n"))
     label_tot = cm.groupBy("label").agg(F.sum("n").alias("label_n"))
+    # classes = union of observed labels AND predictions (sklearn
+    # semantics): a hallucinated tag that never appears in gold still gets
+    # a row (precision 0, support 0)
+    classes = (
+        cm.select(F.col("label").alias("cls"))
+        .union(cm.select(F.col("pred").alias("cls")))
+        .distinct()
+    )
     report = (
-        label_tot.join(tp, label_tot["label"] == tp["cls"], "left")
-        .join(pred_tot, label_tot["label"] == pred_tot["pred"], "left")
+        classes.join(tp, "cls", "left")
+        .join(pred_tot, classes["cls"] == pred_tot["pred"], "left")
+        .join(label_tot, classes["cls"] == label_tot["label"], "left")
         .select(
-            F.col("label").alias("cls"),
+            "cls",
             (F.coalesce(F.col("tp"), F.lit(0)) / F.coalesce(F.col("pred_n"), F.lit(1)))
             .alias("precision"),
-            (F.coalesce(F.col("tp"), F.lit(0)) / F.col("label_n")).alias("recall"),
-            F.col("label_n").alias("support"),
+            (
+                F.coalesce(F.col("tp"), F.lit(0))
+                / F.coalesce(F.col("label_n"), F.lit(1))
+            ).alias("recall"),
+            F.coalesce(F.col("label_n"), F.lit(0)).alias("support"),
         )
         .where(~F.col("cls").isin(*exclude))
     )

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import datetime
 import hashlib
-from math import ceil
 
 from kgforge.textnorm.cleaning import produce_sample_text
 
@@ -216,10 +215,6 @@ def gen_alias_rows(n_docs: int):
                 "canon": canon,
                 "prior": prior * 0.9,
             }
-
-
-def n_chunks_for(text: str, max_seq: int = 256) -> int:
-    return max(1, ceil(len(text.split()) / max_seq))
 
 
 def write_fixture_tables(spark, out_dir: str, n_docs: int, partitions: int = 8):

@@ -76,8 +76,13 @@ def is_committed(path: str, stage: str | None = None) -> bool:
     mp = manifest_path(path)
     if not os.path.exists(mp):
         return False
-    with open(mp) as fh:
-        m = json.load(fh)
+    try:
+        with open(mp) as fh:
+            m = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        # torn manifest write (crash mid-dump) = not committed; the stage
+        # rebuilds and overwrites it
+        return False
     return m.get("status") == "committed" and (stage is None or m.get("stage") == stage)
 
 
@@ -114,8 +119,15 @@ def write_table(
         "lineage": partition_lineage(data_df, stage) if collect_lineage else [],
         "committed_at": time.time(),
     }
-    with open(manifest_path(path), "w") as fh:
+    # atomic commit: write-then-rename so a crash mid-dump never leaves a
+    # half-written manifest that reads as committed
+    mp = manifest_path(path)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mp)
     return manifest
 
 
@@ -142,6 +154,4 @@ def write_lineage_table(spark: SparkSession, manifests: list[dict], path: str):
                     entry["ts"],
                 )
             )
-    if not rows:
-        rows = []
     spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("overwrite").parquet(path)

@@ -60,13 +60,11 @@ def run_pipeline(
     norm = stage("norm_text", lambda: (normalize(webdocs, backend=backend), None))
     sent = stage("sentences", lambda: (sentences(norm), None))
     trip = stage("triples_raw", lambda: (triples(sent), None))
-    ents = stage(
-        "entities", lambda: (link_with_map(mentions(trip), alias_map), None)
-    )
+    stage("entities", lambda: (link_with_map(mentions(trip), alias_map), None))
     mention_map = alias_map.select(
         F.col("alias").alias("mention"), "canon_id"
     )
-    edges = stage(
+    stage(
         "edges",
         lambda: (
             edges_with_day(rewrite_triples(trip, mention_map)),
@@ -77,5 +75,4 @@ def run_pipeline(
     tables.write_lineage_table(
         spark, manifests, os.path.join(out_dir, "lineage")
     )
-    results["edges"] = edges
     return results

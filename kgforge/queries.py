@@ -142,12 +142,14 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (general_ner_train.py:136-158 semantics)."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    n = counts.agg(
+    # stay lazy: broadcast the 1-row totals instead of collecting at
+    # query-construction time
+    totals = counts.agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("k")
-    ).collect()[0]
-    total, k = int(n["n"]), int(n["k"])
-    w = F.log(F.lit(float(total)) / (F.lit(float(k)) * F.col("cnt")))
-    return counts.select(
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    w = F.log(F.col("n").cast("double") / (F.col("k") * F.col("cnt")))
+    return joined.select(
         "event_type",
         "cnt",
         F.round(F.when(w < 1.0, F.lit(1.0)).otherwise(w), 4).alias("weight"),
@@ -509,11 +511,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 per query vector (baseline ANN path):
     JVM-side dot products via zip_with/aggregate — no Python in the loop."""
     emb = _t(spark, sf_dir, "embeddings")
+    # float64 arithmetic end-to-end: the DuckDB oracle casts to DOUBLE[],
+    # and float32 products can round differently at 4dp
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
     q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), as_double.alias("q_emb")
     )
     c = emb.where(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("c_id"), as_double.alias("c_emb")
     )
     dot = F.aggregate(
         F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
@@ -709,12 +714,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): pairs of
     vectors with cosine ≥ 0.95 in a bounded id range."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    a = emb.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2")
-    )
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("id1"), as_double.alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), as_double.alias("e2"))
     dot = F.aggregate(
         F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

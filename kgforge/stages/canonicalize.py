@@ -21,30 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgforge.graph.cc import connected_components
-
 EDGES_SCHEMA = (
     "subj_id string, pred string, obj_id string, url string, warc_ts timestamp"
 )
-
-
-def canonical_map(entities_df: DataFrame, same_as_df: DataFrame) -> DataFrame:
-    """entities(mention, entity_id, ...) + sameAs(src, dst) →
-    mention_map(mention, canon_id)."""
-    labels = connected_components(same_as_df)
-    out = (
-        entities_df.join(
-            F.broadcast(labels),
-            entities_df["entity_id"] == labels["node"],
-            "left",
-        )
-        .select(
-            "mention",
-            F.coalesce(F.col("component"), F.col("entity_id")).alias("canon_id"),
-        )
-        .distinct()
-    )
-    return out
 
 
 def rewrite_triples(triples_df: DataFrame, mention_map: DataFrame) -> DataFrame:

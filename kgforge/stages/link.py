@@ -117,7 +117,7 @@ def alias_resolution(alias_df: DataFrame) -> DataFrame:
 def link_with_map(mentions_df: DataFrame, alias_map: DataFrame) -> DataFrame:
     """Per-batch linking: one broadcast join against the precomputed alias
     map; unmatched mentions get deterministic self-entities. Equivalent to
-    ``link``+``canonical_map`` for exact-match aliases (the extractor emits
+    per-mention ``link``+CC-rewrite for exact-match aliases (the extractor emits
     exact lowercase surface forms), without per-batch scoring jobs."""
     joined = mentions_df.join(
         F.broadcast(alias_map),

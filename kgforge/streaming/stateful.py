@@ -52,17 +52,21 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state, gap_sec: int):
     else:
         session_start, last_ts, n_events = None, None, 0
 
+    # drain ALL batches before sorting: a group's events may arrive across
+    # several Arrow batches in arbitrary order — sorting per batch would
+    # corrupt session boundaries
+    all_ts: list[int] = []
     for pdf in pdfs:
-        for ts in sorted(pdf["ts"].astype("int64") // 10**9):
-            ts = int(ts)
-            if session_start is None:
-                session_start, last_ts, n_events = ts, ts, 1
-            elif ts - last_ts > gap_sec:
-                rows.append((session_start, last_ts, n_events))
-                session_start, last_ts, n_events = ts, ts, 1
-            else:
-                last_ts = max(last_ts, ts)
-                n_events += 1
+        all_ts.extend(int(t) for t in pdf["ts"].astype("int64") // 10**9)
+    for ts in sorted(all_ts):
+        if session_start is None:
+            session_start, last_ts, n_events = ts, ts, 1
+        elif ts - last_ts > gap_sec:
+            rows.append((session_start, last_ts, n_events))
+            session_start, last_ts, n_events = ts, ts, 1
+        else:
+            last_ts = max(last_ts, ts)
+            n_events += 1
 
     if session_start is not None:
         state.update((session_start, last_ts, n_events))
