@@ -53,6 +53,48 @@ def stream_normalize_to_parquet(
     )
 
 
+def stream_extract_edges(
+    spark: SparkSession,
+    input_dir: str,
+    alias_map_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    backend: str = "mock",
+):
+    """Full incremental KG path: newly arrived webdocs → fused docstream
+    (normalize + sentence split + triple extraction) → canonical rewrite
+    against the precomputed alias map → append to the edges table. New
+    ``warc_ts`` partitions are processed exactly once (checkpoint), making
+    incremental ingest idempotent (SURVEY.md §2.10)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.stages.canonicalize import edges_with_day, rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+
+    mention_map = spark.read.parquet(alias_map_path).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    stream = (
+        spark.readStream.schema(WEBDOCS_DDL)
+        .format("parquet")
+        .load(input_dir)
+        .withWatermark("warc_ts", "1 day")
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        edges = edges_with_day(
+            rewrite_triples(extract_docstream(batch_df, backend=backend), mention_map)
+        )
+        edges.write.mode("append").partitionBy("day").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_doc_counts(
     spark: SparkSession,
     input_dir: str,

@@ -60,6 +60,41 @@ def test_available_now_matches_batch_and_appends_incrementally(
     assert spark.read.parquet(out).count() == N_DOCS
 
 
+def test_stream_extract_edges_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kgforge.stages.canonicalize import rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+    from kgforge.streaming.ingest import stream_extract_edges
+
+    fx = str(tmp_path / "fx3")
+    webdocs_path, alias_path = write_fixture_tables(spark, fx, 80, partitions=2)
+    amap_path = str(tmp_path / "alias_map")
+    alias_resolution(spark.read.parquet(alias_path)).write.parquet(amap_path)
+
+    out, ckpt = str(tmp_path / "edges"), str(tmp_path / "eckpt")
+    q = stream_extract_edges(spark, webdocs_path, amap_path, out, ckpt)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+
+    mention_map = spark.read.parquet(amap_path).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    want = rewrite_triples(
+        extract_docstream(spark.read.parquet(webdocs_path)), mention_map
+    )
+    assert got.count() == want.count()
+    cols = ["subj_id", "pred", "obj_id", "url"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # second drain with no new files: nothing appended
+    q2 = stream_extract_edges(spark, webdocs_path, amap_path, out, ckpt)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == want.count()
+
+
 def test_windowed_counts(spark, tmp_path):
     fx = str(tmp_path / "fx2")
     webdocs_path, _ = write_fixture_tables(spark, fx, 80, partitions=2)
