@@ -23,8 +23,8 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=300000)
     ap.add_argument(
         "--levels",
-        default="4,16",
-        help="core counts; 4,16 keeps both configs below the single-host "
+        default="2,8",
+        help="core counts; 2,8 keeps both configs below the single-host "
         "memory-bandwidth ceiling (truer stand-in for adding executors); "
         "8,32 also supported",
     )
