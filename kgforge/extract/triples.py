@@ -40,6 +40,18 @@ _EN_SENT_SPLIT = re.compile(r"(?<=[.?!])\s+")
 _ZH_SENT_SPLIT = re.compile(r"(?<=[。？！?!])\s*")
 _EDGE_PUNCT = ".,?!。，？！、"
 
+# Chinese relation patterns (pattern-based counterpart of the English
+# lexicon): leftmost match wins; groups are (subj, obj). Entity spans are
+# bounded CJK runs so a mid-sentence match can't swallow the whole text.
+_ZH_ENT = r"([一-鿿]{2,8})"
+ZH_REL_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (re.compile(_ZH_ENT + "在" + _ZH_ENT + "工作"), "works at"),
+    (re.compile(_ZH_ENT + "收购了?" + _ZH_ENT), "acquired"),
+    (re.compile(_ZH_ENT + "位于" + _ZH_ENT), "located in"),
+    (re.compile(_ZH_ENT + "投资了?" + _ZH_ENT), "invested in"),
+    (re.compile(_ZH_ENT + "成立于" + _ZH_ENT), "founded"),
+]
+
 MAX_ARG_TOKENS = 4  # entity window either side of the relation
 
 
@@ -85,11 +97,30 @@ def _trim_obj(pairs: list[tuple[str, bool]]) -> list[str]:
     return out
 
 
-def extract_triples(sentence: str) -> list[tuple[str, str, str, float]]:
-    """(subj, pred, obj, conf) tuples from one sentence. Relation = leftmost
-    longest lexicon match; subj = nearest non-stopword span left of it;
-    obj = nearest non-stopword span right. conf scales with argument
-    tightness (1.0 when both args abut the relation at full length)."""
+def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
+    """Chinese pattern extraction over a (space-free) normalized sentence.
+    Each pattern may fire once per sentence position; predicates reuse the
+    English relation labels so the canonical graph is language-uniform."""
+    body = sentence.strip(_EDGE_PUNCT + " ")
+    triples: list[tuple[str, str, str, float]] = []
+    for rx, pred in ZH_REL_PATTERNS:
+        for m in rx.finditer(body):
+            subj, obj = m.group(1), m.group(2)
+            if subj and obj and subj != obj:
+                triples.append((subj, pred, obj, 0.8))
+    return triples
+
+
+def extract_triples(
+    sentence: str, lang: str = "en"
+) -> list[tuple[str, str, str, float]]:
+    """(subj, pred, obj, conf) tuples from one sentence. English: relation
+    = leftmost longest lexicon match; subj = nearest non-stopword span left
+    of it; obj = nearest non-stopword span right; conf scales with argument
+    tightness (1.0 when both args abut the relation at full length).
+    Chinese: bounded regex patterns (``ZH_REL_PATTERNS``)."""
+    if lang == "zh":
+        return extract_triples_zh(sentence)
     raw = sentence.split()
     tokens = [_clean_token(t) for t in raw]
     boundary = [t != t.rstrip(_EDGE_PUNCT) for t in raw]  # trailing punct
@@ -130,6 +161,6 @@ def doc_triples(
     """All (sent_id, subj, pred, obj, conf) for one normalized document."""
     out = []
     for sent_id, sentence in enumerate(split_sentences(text_norm, lang)):
-        for subj, pred, obj, conf in extract_triples(sentence):
+        for subj, pred, obj, conf in extract_triples(sentence, lang):
             out.append((sent_id, subj, pred, obj, conf))
     return out

@@ -56,8 +56,14 @@ _DISTRACTOR_WORDS = (
     "supply chains weather patterns and seasonal trends"
 ).split()
 
-_ZH_SENTENCES = ["今天天气很好", "我们去公园散步", "他在公司工作", "这个项目进展顺利",
+_ZH_SENTENCES = ["今天天气很好", "我们去公园散步", "这个项目进展顺利",
                  "市场需求持续增长", "团队发布了新产品"]
+
+# zh entities + relation templates matching kgforge.extract.triples.ZH_REL_PATTERNS
+_ZH_ENTITIES = ["天河科技", "蓝海集团", "星辰软件", "华光能源", "北斗物流",
+                "王伟", "李娜", "张强", "陈静", "南山资本"]
+_ZH_TEMPLATES = ["{s}在{o}工作", "{s}收购了{o}", "{s}位于{o}",
+                 "{s}投资了{o}", "{s}成立于{o}"]
 
 HOT_ENTITY_INDEX = 0  # entity 0 is the designated hot key (~30% of docs)
 
@@ -138,11 +144,19 @@ def make_doc(doc_id: int, n_docs: int) -> dict:
     n_ent = n_entities(n_docs)
     lang = "zh" if _h("lang", doc_id) % 100 < 5 else "en"
     if lang == "zh":
-        n_sent = 2 + _h("zns", doc_id) % 4
-        prose = "。".join(
-            _ZH_SENTENCES[_h("zs", doc_id, s) % len(_ZH_SENTENCES)]
-            for s in range(n_sent)
-        ) + "。"
+        n_sent = 3 + _h("zns", doc_id) % 5
+        sents = []
+        for s in range(n_sent):
+            if _h("zkind", doc_id, s) % 2 == 0:  # half carry relations
+                subj = _ZH_ENTITIES[_h("zsubj", doc_id, s) % len(_ZH_ENTITIES)]
+                obj = _ZH_ENTITIES[_h("zobj", doc_id, s) % len(_ZH_ENTITIES)]
+                if obj == subj:
+                    obj = _ZH_ENTITIES[(_h("zobj", doc_id, s) + 1) % len(_ZH_ENTITIES)]
+                tpl = _ZH_TEMPLATES[_h("ztpl", doc_id, s) % len(_ZH_TEMPLATES)]
+                sents.append(tpl.format(s=subj, o=obj))
+            else:
+                sents.append(_ZH_SENTENCES[_h("zs", doc_id, s) % len(_ZH_SENTENCES)])
+        prose = "。".join(sents) + "。"
         text = produce_sample_text(prose)
     else:
         # join sentence tokens directly: equivalent to produce_sample_text
@@ -215,6 +229,14 @@ def gen_alias_rows(n_docs: int):
                 "canon": canon,
                 "prior": prior * 0.9,
             }
+    # Chinese entities (mentions emitted by the zh pattern extractor)
+    for zix, zent in enumerate(_ZH_ENTITIES):
+        yield {
+            "alias": zent,
+            "entity_id": f"Z{zix:06d}",
+            "canon": zent,
+            "prior": 0.9,
+        }
 
 
 def write_fixture_tables(spark, out_dir: str, n_docs: int, partitions: int = 8):

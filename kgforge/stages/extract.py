@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from kgforge.extract.triples import extract_triples
 
-SENTENCES_SCHEMA = "url string, warc_ts timestamp, sent_id int, sentence string"
+SENTENCES_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, sent_id int, sentence string"
+)
 TRIPLES_SCHEMA = (
     "url string, warc_ts timestamp, sent_id int, "
     "subj string, pred string, obj string, conf double"
@@ -38,7 +40,10 @@ def sentences(norm: DataFrame) -> DataFrame:
     ).otherwise(F.split("text_norm", _EN_SPLIT))
     return (
         norm.select(
-            "url", "warc_ts", F.posexplode(parts).alias("sent_id", "sentence")
+            "url",
+            "warc_ts",
+            "lang",
+            F.posexplode(parts).alias("sent_id", "sentence"),
         )
         .withColumn("sentence", F.trim("sentence"))
         .filter(F.length("sentence") > 0)
@@ -57,10 +62,14 @@ def triples(sentences_df: DataFrame) -> DataFrame:
             preds: list[str] = []
             objs: list[str] = []
             confs: list[float] = []
-            for url, ts, sid, sentence in zip(
-                pdf["url"], pdf["warc_ts"], pdf["sent_id"], pdf["sentence"]
+            for url, ts, lang, sid, sentence in zip(
+                pdf["url"].tolist(),
+                pdf["warc_ts"].tolist(),
+                pdf["lang"].tolist(),
+                pdf["sent_id"].tolist(),
+                pdf["sentence"].tolist(),
             ):
-                for subj, pred, obj, conf in extract_triples(sentence):
+                for subj, pred, obj, conf in extract_triples(sentence, lang or "en"):
                     urls.append(url)
                     tss.append(ts)
                     sids.append(sid)

@@ -42,11 +42,15 @@ class MockTagger:
     def __init__(self, lang: str = "en"):
         self.lang = lang
         if lang == "zh":
+            # zh tokens are single chars after chinese_split: longer
+            # sentence targets + rare commas approximate real zh prose
             self.enders = _ZH_ENDERS
             self.comma = "C_COMMA"
+            self.min_len, self.len_span, self.comma_mod = 10, 14, 37
         else:
             self.enders = _EN_ENDERS
             self.comma = "COMMA"
+            self.min_len, self.len_span, self.comma_mod = 6, 8, 9
 
     def tag(self, chunks: list[list[str]]) -> list[list[str]]:
         return [self._tag_chunk(tokens) for tokens in chunks]
@@ -57,13 +61,13 @@ class MockTagger:
         target = 0
         for i, tok in enumerate(tokens):
             if sent_pos == 0:
-                target = 6 + _stable_hash("len:" + tok) % 8
+                target = self.min_len + _stable_hash("len:" + tok) % self.len_span
             sent_pos += 1
             if sent_pos >= target and i < len(tokens) - 1:
                 h = _stable_hash("end:" + tok)
                 tags.append(self.enders[h % len(self.enders)])
                 sent_pos = 0
-            elif sent_pos > 2 and _stable_hash("comma:" + tok) % 9 == 0:
+            elif sent_pos > 2 and _stable_hash("comma:" + tok) % self.comma_mod == 0:
                 tags.append(self.comma)
             else:
                 tags.append("O")

@@ -53,6 +53,18 @@ def test_split_sentences_zh():
     assert split_sentences("今天天气。很好", "zh") == ["今天天气。", "很好"]
 
 
+def test_extract_zh_patterns():
+    got = extract_triples("王伟在天河科技工作。", "zh")
+    assert got == [("王伟", "works at", "天河科技", 0.8)]
+    got2 = extract_triples("蓝海集团收购了星辰软件", "zh")
+    assert got2 == [("蓝海集团", "acquired", "星辰软件", 0.8)]
+    assert extract_triples("今天天气很好。", "zh") == []
+    # en sentences are untouched by the zh path
+    assert extract_triples("acme acquired initech", "en")[0][:3] == (
+        "acme", "acquired", "initech",
+    )
+
+
 def _oracle_doc(row):
     lang = row["lang"]
     tag_map = (
