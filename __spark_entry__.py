@@ -148,6 +148,34 @@ def _kg_token_tag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the canonical edge graph: PageRank top-20
+    entities (iterative DataFrame power iteration — kgforge.graph.pagerank).
+    Python-defined iteration → rows-only check (gated by
+    tests/test_pagerank.py vs a pure-Python oracle)."""
+    from kgforge.graph.pagerank import pagerank
+    from kgforge.stages.canonicalize import rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+
+    alias_df = _fixture_alias(spark, sf_dir)
+    mention_map = alias_resolution(alias_df).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    edges = rewrite_triples(
+        extract_docstream(_fixture_webdocs(spark, sf_dir)), mention_map
+    )
+    graph = edges.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    ranks = pagerank(graph, iterations=8)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via the fake
     decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
@@ -182,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_edges_topk": _kg_edges_topk,
             "kg_media_meta": _kg_media_meta,
             "kg_token_tag_corpus": _kg_token_tag_corpus,
+            "kg_pagerank_topk": _kg_pagerank_topk,
         }
     )
     return out

@@ -467,6 +467,28 @@ SELECT q_id, c_id, cos FROM (
 ) WHERE rn <= 5
 """
 
+ORACLES["daily_retention"] = """
+WITH days AS (
+  -- duckdb's date_trunc('day') yields DATE; cast to TIMESTAMP to match Spark
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), nxt AS (
+  SELECT user_id AS u2, day - INTERVAL 1 DAY AS prev_day FROM days
+), joined AS (
+  SELECT d.day, d.user_id, n.u2
+  FROM days d LEFT JOIN nxt n
+    ON d.user_id = n.u2 AND d.day = n.prev_day
+)
+SELECT day,
+       count(*) AS active_users,
+       count(u2) AS retained_next_day,
+       round(count(u2) * 1.0 / count(*), 6) AS retention_rate
+FROM joined GROUP BY day
+ORDER BY active_users DESC, day ASC
+LIMIT 40
+"""
+
 ORACLES["multimodal_meta"] = """
 WITH meta AS (
   SELECT doc_id,

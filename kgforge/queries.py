@@ -791,6 +791,34 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort analytics: next-day retention — of users active on day d,
+    the fraction also active on day d+1."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    nxt = days.select(
+        F.col("user_id").alias("u2"),
+        F.date_add(F.col("day").cast("date"), -1).cast("timestamp").alias("prev_day"),
+    )
+    joined = days.join(
+        nxt, (days["user_id"] == nxt["u2"]) & (days["day"] == nxt["prev_day"]), "left"
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.col("u2")).alias("retained_next_day"),
+            F.round(F.count(F.col("u2")) / F.count(F.lit(1)), 6).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy(F.desc("active_users"), F.asc("day"))
+        .limit(40)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -827,4 +855,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "max_seq_len": q_max_seq_len,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "daily_retention": q_daily_retention,
 }
