@@ -5,6 +5,11 @@ parquet tables (pre-registered views: region nation customer supplier part
 orders lineitem events documents embeddings). Column aliases, rounding, and
 tie-breaks match the Spark implementations exactly (driver compare is
 row-count + schema + order-insensitive value hash over name-sorted columns).
+
+Type discipline (round-1 lesson, VERDICT.md "What's wrong" #1): DuckDB
+``sum()`` over integer columns returns HUGEINT (Arrow decimal128) while
+Spark returns int64, so every unrounded integer aggregate here is wrapped
+in ``CAST(... AS BIGINT)`` — the driver's hash compare is typed.
 """
 
 ORACLES: dict[str, str] = {}
@@ -12,18 +17,16 @@ ORACLES: dict[str, str] = {}
 ORACLES["scan_dropna"] = """
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE text IS NOT NULL AND length(trim(text)) > 0
 GROUP BY lang
 """
 
 ORACLES["even_line_sampling"] = """
-WITH numbered AS (
-  SELECT *, row_number() OVER (ORDER BY event_id) AS rn FROM events
-)
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-FROM numbered WHERE rn % 2 = 1
+FROM events
+WHERE (event_id - (SELECT min(event_id) FROM events)) % 2 = 0
 GROUP BY event_type
 """
 
@@ -137,7 +140,7 @@ WITH masked AS (
            '[0-9]*[.]?[0-9]+[%]?', '<NUM>', 'g') AS m
   FROM documents
 )
-SELECT lang, count(*) AS n, sum(length(m)) AS sum_len
+SELECT lang, count(*) AS n, CAST(sum(length(m)) AS BIGINT) AS sum_len
 FROM masked GROUP BY lang
 """
 
@@ -155,7 +158,7 @@ WITH stats AS (
 )
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_tok) AS sum_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        round(avg(n_tok), 4) AS avg_tokens,
        round(sum(n_stop) * 1.0 / sum(n_tok), 6) AS stopword_ratio,
        round(sum(n_digit) * 1.0 / sum(n_char), 6) AS digit_ratio
@@ -183,7 +186,8 @@ WITH t AS (
            AS n_tok
   FROM documents
 )
-SELECT source, sum(n_tok) AS total_tokens, round(avg(n_tok), 4) AS avg_tokens
+SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens
 FROM t GROUP BY source
 """
 
@@ -197,7 +201,7 @@ WITH fp AS (
   SELECT fingerprint, count(*) AS n FROM fp GROUP BY fingerprint HAVING count(*) > 1
 )
 SELECT count(*) AS dup_fingerprints,
-       coalesce(sum(n), 0) AS docs_in_dups
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS docs_in_dups
 FROM grouped
 """
 
@@ -206,7 +210,7 @@ WITH g AS (
   SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS survivor
   FROM documents GROUP BY md5(text)
 )
-SELECT count(*) AS n_unique, sum(n - 1) AS n_removed FROM g
+SELECT count(*) AS n_unique, CAST(sum(n - 1) AS BIGINT) AS n_removed FROM g
 """
 
 _SHINGLES_CTE = """
@@ -217,10 +221,15 @@ _SHINGLES_CTE = """
     FROM documents WHERE doc_id < 500
   ), idx AS (
     SELECT doc_id, t, unnest(range(greatest(len(t) - 2, 0))) AS i FROM toks
-  ), sh AS (
+  ), sh_all AS (
     SELECT DISTINCT doc_id,
            t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS shingle
     FROM idx
+  ), hot AS (
+    -- hot-shingle document-frequency cap (mirrors queries.HOT_SHINGLE_DF_CAP)
+    SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) >= 100
+  ), sh AS (
+    SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
   )
 """
 
@@ -277,8 +286,8 @@ WITH tok AS (
   GROUP BY doc_id, bit
 ), sim AS (
   SELECT doc_id,
-         sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
-           AS simhash
+         CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )
 SELECT simhash, count(*) AS n FROM sim
@@ -343,18 +352,18 @@ WITH planes AS (
                  - 1) % 2 = 1
               THEN 1.0 ELSE -1.0 END AS w
   FROM (SELECT unnest(range(8)) AS plane) p,
-       (SELECT unnest(range(16)) AS d) d
+       (SELECT unnest(range(64)) AS d) d
 ), comp AS (
   SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x
-  FROM embeddings, (SELECT unnest(range(16)) AS d)
+  FROM embeddings, (SELECT unnest(range(64)) AS d)
 ), dots AS (
   SELECT vec_id, plane, sum(x * w) AS dot
   FROM comp JOIN planes USING (d)
   GROUP BY vec_id, plane
 ), sig AS (
   SELECT vec_id,
-         sum(CASE WHEN dot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END)
-           AS bucket
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, plane) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
   FROM dots GROUP BY vec_id
 )
 SELECT bucket, count(*) AS n FROM sig
@@ -379,10 +388,12 @@ WITH gaps AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
-  SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+         count(*) AS n_events
   FROM gaps GROUP BY user_id
 )
-SELECT n_sessions, count(*) AS n_users, sum(n_events) AS sum_events
+SELECT n_sessions, count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS sum_events
 FROM sess GROUP BY n_sessions
 """
 
@@ -417,15 +428,42 @@ FROM t GROUP BY lang
 """
 
 ORACLES["embedding_near_dup"] = """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 300
-), pairs AS (
-  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+WITH planes AS (
+  SELECT p.plane, d.d,
+         CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('nd,' || p.plane::VARCHAR || ',' || d.d::VARCHAR),
+                        1, 1)) - 1) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(32)) AS plane) p,
+       (SELECT unnest(range(64)) AS d) d
+), comp AS (
+  SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x
+  FROM embeddings, (SELECT unnest(range(64)) AS d)
+), dots AS (
+  SELECT vec_id, plane, sum(x * w) AS dot
+  FROM comp JOIN planes USING (d)
+  GROUP BY vec_id, plane
+), sig AS (
+  SELECT vec_id, plane // 8 AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, plane % 8) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, plane // 8
+), ok_buckets AS (
+  SELECT band, bucket FROM sig GROUP BY band, bucket HAVING count(*) < 1000
+), sigf AS (
+  SELECT sig.* FROM sig JOIN ok_buckets USING (band, bucket)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sigf a JOIN sigf b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), verified AS (
+  SELECT id1, id2, round(list_cosine_similarity(e1.emb, e2.emb), 4) AS cos
+  FROM cand JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2
 )
 SELECT count(*) AS n_pairs, coalesce(min(id1), -1) AS first_id
-FROM pairs WHERE cos >= 0.95
+FROM verified WHERE cos >= 0.95
 """
 
 ORACLES["ivf_ann_topk"] = """
@@ -497,6 +535,6 @@ WITH meta AS (
               THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte
   FROM documents
 )
-SELECT first_byte, count(*) AS n, sum(n_bytes) AS total_bytes
+SELECT first_byte, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
 FROM meta GROUP BY first_byte
 """

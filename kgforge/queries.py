@@ -43,12 +43,18 @@ def q_scan_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_even_line_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: take every 2nd row in a deterministic ordering."""
+    """S4: take every 2nd row in event_id order. ``event_id`` is a dense
+    line key, so "odd row_number" ≡ "even offset from min(event_id)" — a
+    scalar aggregate broadcast + modulo filter instead of a global sort
+    window (round-1's ``Window.orderBy`` funneled the whole table through
+    one task; this plan has no single-partition exchange — asserted in
+    tests/test_plans.py). Non-dense keys would need the per-partition
+    offset (zipWithIndex) pattern instead."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    base = ev.agg(F.min("event_id").alias("min_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") % 2 == 1)
+        ev.join(F.broadcast(base))
+        .where((F.col("event_id") - F.col("min_id")) % 2 == 0)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
@@ -360,11 +366,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: 3-gram shingle Jaccard ≥ 0.6 over a bounded doc
-    subset (set-similarity self-join via shingle inverted index — the
-    shuffle pattern that scales; the doc_id bound keeps the oracle cheap)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+HOT_SHINGLE_DF_CAP = 100  # drop shingles appearing in ≥ this many docs
+
+
+def _shingles(docs: DataFrame, cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFrame:
+    """(doc_id, shingle) distinct 3-gram shingles per doc, with a
+    document-frequency cap: a boilerplate shingle present in k docs would
+    otherwise fan the inverted-index self-join out to k² candidate pairs —
+    the cap bounds per-shingle join fan-out to cap², keeping the candidate
+    count linear in corpus size (the standard frequent-shingle filter in
+    set-similarity joins). The hot set is tiny → broadcast anti-join."""
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
     )
@@ -384,6 +395,25 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    if cap is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-gram shingle Jaccard ≥ 0.6 (set-similarity
+    self-join via shingle inverted index + hot-shingle DF cap — the shuffle
+    pattern that scales; Jaccard is over the capped shingle sets on both
+    engines). The doc_id bound keeps the oracle cheap; bench.py runs the
+    unbounded variant at sf0.1 to demonstrate linear candidate counts."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -414,28 +444,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 md5-keyed min-hashes over 3-gram
-    shingles, band size 1 → candidate pairs sharing any band value.
-    md5 is identical across engines so the oracle agrees bit-for-bit."""
+    shingles (hot-shingle DF cap applied first), band size 1 → candidate
+    pairs sharing any band value. md5 is identical across engines so the
+    oracle agrees bit-for-bit."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
-    )
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-                    lambda _, i: F.concat_ws(
-                        " ",
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                        F.element_at(toks, i + 3),
-                    ),
-                )
-            )
-        ).alias("shingle"),
-    )
+    sh = _shingles(docs)
     bands = spark.range(8).select(F.col("id").cast("int").alias("band"))
     sig = (
         sh.crossJoin(F.broadcast(bands))
@@ -507,6 +520,9 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+EMBEDDING_DIM = 64  # width of the embeddings.embedding column (TESTDATA.md)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 per query vector (baseline ANN path):
     JVM-side dot products via zip_with/aggregate — no Python in the loop."""
@@ -560,12 +576,13 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for ANN: random-hyperplane LSH buckets (sign of dot with
-    md5-seeded ±1 planes) shrink the candidate set; report bucket sizes.
-    The plane signs derive from md5(dim,plane) so the oracle matches."""
+    md5-seeded ±1 planes over the FULL embedding dimensionality) shrink the
+    candidate set; report bucket sizes. The plane signs derive from
+    md5(plane,dim) so the oracle matches bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
     dims = spark.range(0, 8).select(F.col("id").cast("int").alias("plane"))
     planes = dims.crossJoin(
-        spark.range(0, 16).select(F.col("id").cast("int").alias("d"))
+        spark.range(0, EMBEDDING_DIM).select(F.col("id").cast("int").alias("d"))
     ).select(
         "plane",
         "d",
@@ -576,7 +593,7 @@ def q_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).where(F.col("d") < 16)
+    )
     dots = (
         comp.join(F.broadcast(planes), "d")
         .groupBy("vec_id", "plane")
@@ -710,30 +727,103 @@ def q_max_seq_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_BANDS = 4  # LSH bands (OR over bands → recall)
+NEAR_DUP_PLANES = 8  # hyperplanes per band (AND within band → precision)
+NEAR_DUP_BUCKET_CAP = 1000  # skip degenerate buckets (quadratic-pair guard)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family): pairs of
-    vectors with cosine ≥ 0.95 in a bounded id range."""
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    """Embedding-cosine near-duplicate pairs (dedup family), UNBOUNDED:
+    the scale plan, not an all-pairs cartesian. 4 bands × 8 random
+    hyperplanes (signs from md5, so the oracle reproduces them bit-for-bit)
+    bucket each vector 4 ways; candidate pairs share any (band, bucket);
+    only candidates get the exact cosine ≥ 0.95 verify. Candidate count is
+    Σ_buckets k², bounded by NEAR_DUP_BUCKET_CAP — linear in corpus size —
+    vs the previous O(n²) non-equi join. Recall at cos=0.95 with 4×8 planes
+    ≈ 0.89 (1-(1-(1-θ/π)^8)^4); semantics = "LSH-candidate near-dups",
+    mirrored exactly by the oracle. NOTE the shared embeddings fixture has
+    no true near-dups (max pairwise cosine ≈ 0.51) so this aggregate is
+    honestly (0, -1) here; positive detection through the same plan is
+    covered by tests/test_near_dup.py on synthetic near-dup vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    verified = embedding_near_dup_pairs(emb)
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.min("id1"), F.lit(-1)).alias("first_id"),
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, dim: int = EMBEDDING_DIM
+) -> DataFrame:
+    """The reusable LSH-bucketed near-dup plan: embeddings(vec_id,
+    embedding) → verified pairs (id1, id2, cos ≥ threshold)."""
+    spark = emb.sparkSession
+    n_planes = NEAR_DUP_BANDS * NEAR_DUP_PLANES
+    planes = (
+        spark.range(0, n_planes)
+        .select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(0, dim).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "plane",
+            "d",
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(concat_ws(',', 'nd', plane, d)),"
+                " 1, 1), 16, 10) AS INT) % 2 = 1 THEN 1.0D ELSE -1.0D END"
+            ).alias("w"),
+        )
+    )
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    dots = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    sig = (
+        dots.groupBy("vec_id", F.expr("plane div 8").alias("band"))
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN dot > 0 THEN shiftleft(1L, plane % 8) ELSE 0L END")
+            ).alias("bucket")
+        )
+    )
+    ok_buckets = (
+        sig.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") < NEAR_DUP_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    sigf = sig.join(ok_buckets, ["band", "bucket"])
+    a = sigf.alias("a")
+    b = sigf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .distinct()
+    )
     as_double = F.transform("embedding", lambda x: x.cast("double"))
-    a = emb.select(F.col("vec_id").alias("id1"), as_double.alias("e1"))
-    b = emb.select(F.col("vec_id").alias("id2"), as_double.alias("e2"))
+    e1 = emb.select(F.col("vec_id").alias("id1"), as_double.alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"), as_double.alias("e2"))
     dot = F.aggregate(
         F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    pairs = (
-        a.join(b, F.col("id1") < F.col("id2"))
+    verified = (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
         .select(
             "id1",
             "id2",
             F.round(dot / (norm(F.col("e1")) * norm(F.col("e2"))), 4).alias("cos"),
         )
-        .where(F.col("cos") >= 0.95)
+        .where(F.col("cos") >= threshold)
     )
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.coalesce(F.min("id1"), F.lit(-1)).alias("first_id"),
-    )
+    return verified
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,20 @@ def test_rewrite_uses_broadcast_joins_only(spark):
     assert stream_exchanges == [], stream_exchanges
 
 
+def test_even_line_sampling_has_no_global_sort_window(spark):
+    """S4 regression (round-1 judge finding): the sampling plan must not
+    funnel the table through a single-partition Exchange (the old
+    ``Window.orderBy`` did exactly that)."""
+    from kgforge.queries import q_even_line_sampling
+
+    plan = _plan(q_even_line_sampling(spark, "/root/testdata/sf0.001"))
+    # no row_number window, no global sort of the events table; the only
+    # single-partition exchange allowed is the 1-row scalar min aggregate
+    assert "Window" not in plan
+    assert "Sort " not in plan.split("HashAggregate")[0]
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 def test_scan_prunes_binary_column_in_docstream(spark, tmp_path):
     docs, _ = _fixture(spark)
     path = str(tmp_path / "docs")

@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Local replica of the driver's correctness harness: run each
-kgforge.queries entry on Spark AND its kgforge.oracles SQL on DuckDB over
-the same parquet tables, compare row count + name-sorted order-insensitive
-values. Usage:
+"""Local replica of the driver's correctness harness: run each contract
+query (``__spark_entry__.queries()``) on Spark AND its ``oracle_sql()``
+SQL on DuckDB over the same parquet tables, compare row count + schema +
+name-sorted order-insensitive values.
+
+TYPE-STRICT (round-1 lesson): the driver hashes typed values, so a DuckDB
+HUGEINT/decimal128 never equals a Spark int64 even when numerically equal.
+Every value is compared as a (type-class, value) pair — Decimal vs int vs
+float are distinct — so this checker predicts the driver instead of
+masking type drift. Usage:
 
     python tools/check_correctness.py [query ...] [--sf /root/testdata/sf0.01]
 """
@@ -25,23 +31,30 @@ TABLES = [
 
 
 def _norm(v):
+    """Typed canonical form: (type-class, value). int/float/Decimal are
+    deliberately NOT collapsed (driver compare is typed)."""
     if v is None:
-        return None
+        return ("null", None)
     if isinstance(v, bool):
-        return int(v)
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return int(v)
-        return round(v, 9)
+            return ("float", "NaN")
+        # representation-exact: same doubles on both sides must agree bitwise
+        return ("float", v.hex())
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
+        return ("array", tuple(_norm(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    return ("str", str(v))
 
 
 def _rowset(cols, rows):
@@ -59,11 +72,13 @@ def main() -> int:
 
     import duckdb
 
-    from kgforge.oracles import ORACLES
-    from kgforge.queries import QUERIES
+    from __spark_entry__ import oracle_sql, queries
     from kgforge.session import get_spark
 
     spark = get_spark("kgforge-correctness", master="local[8]", shuffle_partitions=16)
+
+    qs = queries()
+    oracles = oracle_sql()
 
     con = duckdb.connect()
     for t in TABLES:
@@ -71,18 +86,18 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
 
-    names = args.names or sorted(QUERIES)
+    names = args.names or sorted(qs)
     failed = []
     for name in names:
         try:
-            sdf = QUERIES[name](spark, args.sf)
+            sdf = qs[name](spark, args.sf)
             srows = sdf.collect()
             scols = sdf.columns
             sset, sorted_cols = _rowset(scols, [tuple(r) for r in srows])
-            if name not in ORACLES:
+            if name not in oracles:
                 print(f"{name:28s} SPARK-ONLY rows={len(srows)}")
                 continue
-            res = con.execute(ORACLES[name])
+            res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
             dset, _ = _rowset(dcols, drows)
