@@ -115,12 +115,21 @@ def connected_components(
     if n_edges <= driver_threshold:
         return _driver_union_find(e)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = _signature(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # labels from a non-converged star graph can split components with
+        # no error signal — fail loudly instead (round-1 advisor finding)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "alternating star rounds; raise max_iter (expected O(log n))"
+        )
     # converged star graph: every edge points node → component root
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))

@@ -43,10 +43,12 @@ def pagerank(
         with_deg = ranks.join(
             out_deg, ranks["node"] == out_deg["src"], "left"
         ).select("node", "rank", "out_deg")
-        dangling = (
+        # dangling mass stays IN-PLAN (1-row aggregate broadcast into the
+        # rank update) instead of a driver-side collect: one Spark job per
+        # iteration (the localCheckpoint) rather than two.
+        dangling_df = (
             with_deg.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         contribs = (
             e.join(
@@ -62,12 +64,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .join(F.broadcast(dangling_df))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()

@@ -5,18 +5,41 @@ arriving ``webdocs`` files as a stream: ``readStream`` on the input
 directory, ``Trigger.AvailableNow`` (drain everything present, then stop —
 idempotent catch-up runs), watermark on ``warc_ts`` for bounded state, and
 ``foreachBatch`` feeding the SAME batch stages (normalize → sentences →
-triples), so streaming and batch semantics cannot diverge. Checkpointing
-gives exactly-once sink appends on top of the per-stage lineage manifests.
+triples), so streaming and batch semantics cannot diverge.
+
+Delivery semantics: Structured Streaming's checkpoint makes ``foreachBatch``
+*at-least-once* — a crash between the sink write and the checkpoint commit
+replays the whole micro-batch on restart. A blind ``append`` would then
+duplicate rows, so every batch is written to a deterministic
+``batch_id=<id>`` subdirectory in ``overwrite`` mode
+(``write_batch_idempotent``): a replay overwrites its own previous output
+and the sink is effectively exactly-once for a fixed checkpoint lineage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WEBDOCS_DDL = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
+
+
+def write_batch_idempotent(
+    batch_df: DataFrame,
+    output_dir: str,
+    batch_id: int,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Idempotent micro-batch sink: parquet under ``batch_id=<id>`` with
+    overwrite, so an at-least-once replay of the same batch cannot
+    duplicate rows. Readers see ``batch_id`` as a discovered partition
+    column of ``output_dir``."""
+    w = batch_df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{output_dir}/batch_id={batch_id}")
 
 
 def stream_normalize_to_parquet(
@@ -40,10 +63,9 @@ def stream_normalize_to_parquet(
     stream = reader.load(input_dir).withWatermark("warc_ts", "1 day")
 
     def process_batch(batch_df, batch_id: int):
-        out = normalize(batch_df, backend=backend).withColumn(
-            "batch_id", F.lit(batch_id)
+        write_batch_idempotent(
+            normalize(batch_df, backend=backend), output_dir, batch_id
         )
-        out.write.mode("append").parquet(output_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -63,9 +85,9 @@ def stream_extract_edges(
 ):
     """Full incremental KG path: newly arrived webdocs → fused docstream
     (normalize + sentence split + triple extraction) → canonical rewrite
-    against the precomputed alias map → append to the edges table. New
-    ``warc_ts`` partitions are processed exactly once (checkpoint), making
-    incremental ingest idempotent (SURVEY.md §2.10)."""
+    against the precomputed alias map → idempotent batch_id-keyed append to
+    the edges table (see module docstring: checkpoint dedups inputs,
+    overwrite-per-batch dedups replayed outputs) (SURVEY.md §2.10)."""
     from pyspark.sql import functions as F
 
     from kgforge.stages.canonicalize import edges_with_day, rewrite_triples
@@ -85,7 +107,7 @@ def stream_extract_edges(
         edges = edges_with_day(
             rewrite_triples(extract_docstream(batch_df, backend=backend), mention_map)
         )
-        edges.write.mode("append").partitionBy("day").parquet(output_dir)
+        write_batch_idempotent(edges, output_dir, batch_id, partition_by=["day"])
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -95,6 +95,22 @@ def test_stream_extract_edges_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == want.count()
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between sink write and
+    checkpoint commit replays the micro-batch. The batch_id-keyed
+    overwrite sink must absorb the replay without duplicating rows."""
+    from kgforge.streaming.ingest import write_batch_idempotent
+
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "idem")
+    write_batch_idempotent(df, out, batch_id=3)
+    write_batch_idempotent(df, out, batch_id=3)  # simulated replay
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.select("id").distinct().count() == 50
+    assert set(got.columns) == {"id", "v", "batch_id"}
+
+
 def test_windowed_counts(spark, tmp_path):
     fx = str(tmp_path / "fx2")
     webdocs_path, _ = write_fixture_tables(spark, fx, 80, partitions=2)
