@@ -36,6 +36,15 @@ _STOPWORDS = {
     "before", "despite", "across", "continue", "continued",
 }
 
+# auxiliaries/copulas abutting a relation are skipped, not kept as entity
+# tokens ("X is located in Y", "X has acquired Y" — the dominant web-text
+# surface forms); determiners opening an object span are likewise skipped
+# ("works at the united nations"). Neither occurs in the synthetic fixture,
+# so fixture-tier outputs are unchanged; the hand-annotated gold set
+# (tests/test_gold_triples.py) measures the effect on real-shaped prose.
+_AUX = {"is", "was", "are", "were", "be", "been", "being", "has", "had", "have"}
+_DETS = {"the", "a", "an"}
+
 _EN_SENT_SPLIT = re.compile(r"(?<=[.?!])\s+")
 _ZH_SENT_SPLIT = re.compile(r"(?<=[。？！?!])\s*")
 _EDGE_PUNCT = ".,?!。，？！、"
@@ -71,11 +80,16 @@ def _clean_token(tok: str) -> str:
 
 
 def _trim_subj(pairs: list[tuple[str, bool]]) -> list[str]:
-    """Scan right-to-left from the relation: stop at stopwords, empties,
-    or a clause boundary (a token carrying trailing punctuation belongs to
-    the previous clause and is excluded)."""
+    """Scan right-to-left from the relation: skip relation-adjacent
+    auxiliaries, then stop at stopwords, empties, or a clause boundary
+    (a token carrying trailing punctuation belongs to the previous clause
+    and is excluded)."""
     out: list[str] = []
+    started = False
     for tok, trailing_punct in reversed(pairs):
+        if not started and tok in _AUX and not trailing_punct:
+            continue  # "X is located in", "X has acquired"
+        started = True
         if tok in _STOPWORDS or not tok or trailing_punct:
             break
         out.append(tok)
@@ -85,10 +99,15 @@ def _trim_subj(pairs: list[tuple[str, bool]]) -> list[str]:
 
 
 def _trim_obj(pairs: list[tuple[str, bool]]) -> list[str]:
-    """Scan left-to-right from the relation: stop at stopwords/empties;
-    a token with trailing punctuation closes the span (inclusive)."""
+    """Scan left-to-right from the relation: skip leading determiners,
+    then stop at stopwords/empties; a token with trailing punctuation
+    closes the span (inclusive)."""
     out: list[str] = []
+    started = False
     for tok, trailing_punct in pairs:
+        if not started and tok in _DETS and not trailing_punct:
+            continue  # "works at the united nations"
+        started = True
         if tok in _STOPWORDS or not tok:
             break
         out.append(tok)

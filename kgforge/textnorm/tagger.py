@@ -77,6 +77,79 @@ class MockTagger:
         return tags
 
 
+def align_first_subword_tags(offsets, logits, id2tag: dict[int, str]) -> list[list[str]]:
+    """The subword→word alignment seam (inference_pipeline.py:266-277):
+    keep exactly the positions whose offset mapping is (0, !=0) — the first
+    subword of each real word; special tokens ([CLS]/[SEP]/padding) carry
+    (0, 0) and continuation subwords carry start != 0. Shared by the
+    production OnnxTagger and the offline FakeSubwordTagger so the mask
+    logic itself is test-covered without onnxruntime."""
+    marks = (offsets[:, :, 0] == 0) & (offsets[:, :, 1] != 0)
+    preds = logits.argmax(axis=2)
+    return [
+        [id2tag[int(p)] for p in pred[mark]]
+        for pred, mark in zip(preds, marks)
+    ]
+
+
+class FakeSubwordTagger:
+    """Numpy-only twin of the ONNX path exercising the full subword seam:
+    words are split into ≤``piece_len``-char subwords, encoded with
+    HF-fast-tokenizer-style offset mappings ([CLS]/[SEP]/pad → (0,0),
+    first subword → (0, n), continuation → (start>0, end)), padded to the
+    batch max, and scored with logits whose argmax at FIRST-subword
+    positions encodes MockTagger's word tag while every continuation /
+    special position carries a DECOY argmax — so any alignment-mask bug
+    changes the output. Word-level tags therefore must equal MockTagger's
+    on the same chunks (asserted in tests/test_subword_alignment.py)."""
+
+    def __init__(self, lang: str = "en", piece_len: int = 4):
+        self._mock = MockTagger(lang=lang)
+        tags = sorted(set(_EN_ENDERS) | set(_ZH_ENDERS) | {"O", "COMMA", "C_COMMA"})
+        self.tag2id = {t: i for i, t in enumerate(tags)}
+        self.id2tag = dict(enumerate(tags))
+        self.piece_len = piece_len
+
+    def _pieces(self, word: str) -> list[tuple[int, int]]:
+        """Character-offset spans of the word's subword pieces."""
+        n = max(1, len(word))
+        return [
+            (s, min(s + self.piece_len, n)) for s in range(0, n, self.piece_len)
+        ]
+
+    def tag(self, chunks: list[list[str]]) -> list[list[str]]:
+        import numpy as np
+
+        word_tags = self._mock.tag(chunks)
+        k = len(self.id2tag)
+        rows_off: list[list[tuple[int, int]]] = []
+        rows_tag: list[list[int]] = []  # -1 = decoy position
+        for tokens, tags in zip(chunks, word_tags):
+            off: list[tuple[int, int]] = [(0, 0)]  # [CLS]
+            tid: list[int] = [-1]
+            for tok, tag in zip(tokens, tags):
+                for j, span in enumerate(self._pieces(tok)):
+                    off.append(span)
+                    tid.append(self.tag2id[tag] if j == 0 else -1)
+            off.append((0, 0))  # [SEP]
+            tid.append(-1)
+            rows_off.append(off)
+            rows_tag.append(tid)
+        width = max(len(o) for o in rows_off) if rows_off else 0
+        offsets = np.zeros((len(rows_off), width, 2), dtype=np.int64)
+        logits = np.zeros((len(rows_off), width, k), dtype=np.float64)
+        for i, (off, tid) in enumerate(zip(rows_off, rows_tag)):
+            for j, ((s, e), t) in enumerate(zip(off, tid)):
+                offsets[i, j] = (s, e)
+                if t >= 0:
+                    logits[i, j, t] = 1.0
+                else:
+                    # decoy: a confident WRONG prediction on non-first
+                    # positions; a broken mask would surface these
+                    logits[i, j, (abs(s) + e + 1) % k] = 2.0
+        return align_first_subword_tags(offsets, logits, self.id2tag)
+
+
 class OnnxTagger:
     """Production backend: HF fast tokenizer + ONNX Runtime session, loaded
     lazily once per python worker (mirrors inference_pipeline.py:176-202 and
@@ -110,8 +183,6 @@ class OnnxTagger:
             return_tensors="np",
         )
         offsets = np.asarray(enc["offset_mapping"])
-        # first-subword positions: offset (0, !=0) — inference_pipeline.py:266-277
-        marks = (offsets[:, :, 0] == 0) & (offsets[:, :, 1] != 0)
         logits = self._session.run(
             None,
             {
@@ -119,16 +190,15 @@ class OnnxTagger:
                 "attention_mask": np.asarray(enc["attention_mask"]),
             },
         )[0]
-        preds = logits.argmax(axis=2)
-        return [
-            [self.id2tag[int(p)] for p in pred[mark]]
-            for pred, mark in zip(preds, marks)
-        ]
+        # first-subword alignment — inference_pipeline.py:266-277
+        return align_first_subword_tags(offsets, logits, self.id2tag)
 
 
 def get_tagger(backend: str, lang: str = "en", **kwargs) -> TaggerBackend:
     if backend == "mock":
         return MockTagger(lang=lang)
+    if backend == "fakesubword":
+        return FakeSubwordTagger(lang=lang, **kwargs)
     if backend == "onnx":  # pragma: no cover
         return OnnxTagger(**kwargs)
     raise ValueError(f"unknown tagger backend: {backend}")
