@@ -75,6 +75,27 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         timings[name] = dt
         total += dt
 
+    # UNBOUNDED near-dup variants (scale evidence): the contract queries
+    # bound doc_id < 500 for oracle cost; these run the same plans over the
+    # FULL documents table and report candidate counts, demonstrating the
+    # hot-shingle DF cap keeps candidates ~linear in corpus size.
+    from kgforge.queries import minhash_lsh_candidates_agg, ngram_jaccard_pairs_agg
+
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs_tbl = docs_full.count()
+    t0 = time.perf_counter()
+    jac_row = ngram_jaccard_pairs_agg(docs_full).collect()[0]
+    timings["ngram_jaccard_unbounded"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    mh_row = minhash_lsh_candidates_agg(docs_full).collect()[0]
+    timings["minhash_lsh_unbounded"] = round(time.perf_counter() - t0, 3)
+    total += timings["ngram_jaccard_unbounded"] + timings["minhash_lsh_unbounded"]
+    unbounded = {
+        "documents_rows": n_docs_tbl,
+        "jaccard_pairs": jac_row["n_pairs"],
+        "minhash_candidate_pairs": mh_row["n_candidate_pairs"],
+    }
+
     # KG document stream over parquet input
     fx = tempfile.mkdtemp(prefix="kgforge_bench_")
     t0 = time.perf_counter()
@@ -110,6 +131,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "kg_edges": n_edges,
         "kg_fixture_gen_sec": fixture_gen_sec,
         "kg_docs_per_sec": round(KG_BENCH_DOCS / timings["kg_docstream"], 2),
+        "unbounded_near_dup": unbounded,
     }
     spark.stop()
     return result

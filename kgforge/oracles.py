@@ -237,10 +237,28 @@ ORACLES["ngram_jaccard_pairs"] = f"""
 WITH {_SHINGLES_CTE},
 sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), ranked AS (
+  -- prefix filtering (lossless for J >= 0.6): global order (df, shingle);
+  -- prefix_len = sz - ceil(0.6*sz) + 1, integer-exact as (3*sz+4)//5
+  SELECT sh.doc_id, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY dfreq.df, sh.shingle) AS rn,
+         sizes.sz - ((3 * sizes.sz + 4) // 5) + 1 AS prefix_len
+  FROM sh JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)
+), prefix AS (
+  SELECT doc_id, shingle FROM ranked WHERE rn <= prefix_len
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM prefix a JOIN prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT d1, d2, count(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = d1
+  JOIN sh sb ON sb.doc_id = d2 AND sb.shingle = sa.shingle
+  GROUP BY d1, d2
 ), jac AS (
   SELECT d1, d2,
          round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
@@ -255,15 +273,21 @@ FROM jac WHERE jaccard >= 0.6
 
 ORACLES["minhash_lsh_candidates"] = f"""
 WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, band,
-         min(md5(band::VARCHAR || '|' || shingle)) AS minhash
-  FROM sh, (SELECT unnest(range(8)) AS band)
-  GROUP BY doc_id, band
+sigparts AS (
+  -- b=8 bands x r=3 minhashes (queries.MINHASH_BANDS/MINHASH_ROWS)
+  SELECT doc_id, band, hx,
+         min(md5(band::VARCHAR || ':' || hx::VARCHAR || '|' || shingle)) AS mh
+  FROM sh,
+       (SELECT unnest(range(8)) AS band),
+       (SELECT unnest(range(3)) AS hx)
+  GROUP BY doc_id, band, hx
+), sig AS (
+  SELECT doc_id, band, string_agg(mh, '|' ORDER BY hx) AS sig
+  FROM sigparts GROUP BY doc_id, band
 ), cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM sig a JOIN sig b
-    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
 SELECT count(*) AS n_candidate_pairs,
        coalesce(min(d1), -1) AS min_d1

@@ -375,7 +375,16 @@ def _shingles(docs: DataFrame, cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFram
     otherwise fan the inverted-index self-join out to k² candidate pairs —
     the cap bounds per-shingle join fan-out to cap², keeping the candidate
     count linear in corpus size (the standard frequent-shingle filter in
-    set-similarity joins). The hot set is tiny → broadcast anti-join."""
+    set-similarity joins). The hot set is tiny → broadcast anti-join.
+
+    Small inputs arrive as one or two parquet splits, which would leave the
+    CPU-heavy shingling + md5 work single-threaded; widen to the session's
+    default parallelism when (and only when) the scan is narrower — a
+    100-TB corpus already has more splits than cores, so this never adds a
+    shuffle at scale."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
     )
@@ -413,20 +422,60 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). The doc_id bound keeps the oracle cheap; bench.py runs the
     unbounded variant at sf0.1 to demonstrate linear candidate counts."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return ngram_jaccard_pairs_agg(docs)
+
+
+def ngram_jaccard_pairs_agg(docs: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ 0.6 via PREFIX FILTERING (AllPairs/PPJoin lemma):
+    order every doc's shingles globally by (document frequency asc,
+    shingle asc) and join only each doc's first |set| - ceil(0.6·|set|) + 1
+    shingles — any pair with J ≥ 0.6 must share its globally-smallest
+    common shingle inside BOTH prefixes, so candidate generation is
+    LOSSLESS while skipping the quadratic "pairs sharing any common
+    shingle" blow-up (round-2 bench: 5k docs went from 37.9s to the
+    prefix-filtered time in BENCH.md). ceil(0.6·sz) is computed in integer
+    arithmetic ((3·sz + 4) div 5) so both engines agree exactly."""
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+        .withColumn("prefix_len", F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1)
+    )
+    prefix = ranked.where(F.col("rn") <= F.col("prefix_len")).select(
+        "doc_id", "shingle"
+    )
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        cand.join(sa, "d1")
+        .join(sb, ["d2", "shingle"])
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
     jac = (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
+        inter.join(za, "d1")
+        .join(zb, "d2")
         .select(
             "d1",
             "d2",
@@ -442,30 +491,55 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_BANDS = 8  # b: OR over bands (recall)
+MINHASH_ROWS = 3  # r: hashes per band, AND within band (precision)
+
+
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 8 md5-keyed min-hashes over 3-gram
-    shingles (hot-shingle DF cap applied first), band size 1 → candidate
-    pairs sharing any band value. md5 is identical across engines so the
-    oracle agrees bit-for-bit."""
+    """MinHash+LSH near-dup candidates: b=8 bands × r=3 md5-keyed
+    min-hashes over 3-gram shingles (hot-shingle DF cap applied first);
+    a band matches only when all 3 of its minhashes agree — P[band] = J³,
+    so candidate probability is 1-(1-J³)⁸ (≈ 0.86 at J=0.6, ≈ 0.008 at
+    J=0.1). Round-1's band-size-1 variant (P[band] = J) produced ~34%
+    candidate rate even at J=0.05 — 82k candidate pairs from 5k docs at
+    sf0.1; the banded signature keeps candidates proportional to true
+    near-dup clusters. md5 is identical across engines so the oracle
+    agrees bit-for-bit."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return minhash_lsh_candidates_agg(docs)
+
+
+def minhash_lsh_candidates_agg(docs: DataFrame) -> DataFrame:
     sh = _shingles(docs)
-    bands = spark.range(8).select(F.col("id").cast("int").alias("band"))
-    sig = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("minhash")
+    # all b×r minhashes in ONE map-side-combinable groupBy (24 agg columns
+    # over the shingle rows) — no ×24 row explosion before the shuffle
+    mh_cols = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{b}:{h}|"), F.col("shingle")))
+        ).alias(f"mh_{b}_{h}")
+        for b in range(MINHASH_BANDS)
+        for h in range(MINHASH_ROWS)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mh_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b}_{h}") for h in range(MINHASH_ROWS)]
+            ).alias("sig"),
         )
-    )
+        for b in range(MINHASH_BANDS)
+    ]
+    sig = per_doc.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
