@@ -176,6 +176,33 @@ def _kg_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-text mention detection (gazetteer scan, kgforge.stages.link.
+    scan_mentions): alias occurrences in every normalized sentence, linked
+    to canonical ids via the broadcast alias map; top-20 entities by
+    mention count. Oracle: expected parquet from the shared pure matcher."""
+    from kgforge.stages.extract import sentences
+    from kgforge.stages.link import alias_resolution, scan_mentions
+    from kgforge.stages.normalize import normalize
+
+    alias_df = _fixture_alias(spark, sf_dir)
+    aliases = sorted(
+        r["alias"] for r in alias_df.select("alias").distinct().collect()
+    )
+    sents = sentences(normalize(_fixture_webdocs(spark, sf_dir)))
+    hits = scan_mentions(sents, aliases)
+    amap = alias_resolution(alias_df)
+    linked = hits.join(
+        F.broadcast(amap), hits["mention"] == amap["alias"]
+    ).select("canon_id")
+    return (
+        linked.groupBy("canon_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("canon_id"))
+        .limit(20)
+    )
+
+
 def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via the fake
     decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
@@ -208,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_triples": _kg_triples,
             "kg_entities": _kg_entities,
             "kg_edges_topk": _kg_edges_topk,
+            "kg_mentions": _kg_mentions,
             "kg_media_meta": _kg_media_meta,
             "kg_token_tag_corpus": _kg_token_tag_corpus,
             "kg_pagerank_topk": _kg_pagerank_topk,

@@ -27,7 +27,7 @@ import os
 from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
-EXPECTED_VERSION = "v2"  # bump when any kg_* query semantics change
+EXPECTED_VERSION = "v3"  # bump when any kg_* query semantics change
 TIER_DOCS = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 2000}
 
 KG_TABLES = [
@@ -36,6 +36,7 @@ KG_TABLES = [
     "kg_triples",
     "kg_entities",
     "kg_edges_topk",
+    "kg_mentions",
     "kg_media_meta",
     "kg_token_tag_corpus",
     "kg_pagerank_topk",
@@ -242,6 +243,26 @@ def _edges_topk(edge_rows: list[tuple[str, str, str]], k: int = 20) -> list[dict
     ]
 
 
+def _mentions_topk(
+    norm: list[dict], alias_rows: list[dict], amap: dict[str, str], k: int = 20
+) -> list[dict]:
+    """Twin of _kg_mentions: gazetteer scan over every sentence (shared
+    matcher kgforge.linking.mentions) → canon_id mention counts, top-k."""
+    from kgforge.extract.triples import split_sentences
+    from kgforge.linking.mentions import build_mention_index, find_mentions
+
+    en_index, zh_aliases = build_mention_index(
+        sorted({r["alias"] for r in alias_rows})
+    )
+    counts: Counter = Counter()
+    for d in norm:
+        for sentence in split_sentences(d["text_norm"], d["lang"]):
+            for surface in find_mentions(sentence, d["lang"], en_index, zh_aliases):
+                counts[amap[surface]] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [{"canon_id": c, "n": n} for c, n in ranked]
+
+
 def _pagerank_topk(
     edge_rows: list[tuple[str, str, str]],
     iterations: int = 8,
@@ -413,6 +434,11 @@ def ensure_expected(tier: str = "sf0.01", sf_dir: str | None = None) -> dict[str
         pa.schema(
             [("subj_id", s), ("pred", s), ("obj_id", s), ("n", pa.int64())]
         ),
+    )
+    _write(
+        paths["kg_mentions"],
+        _mentions_topk(norm, alias_rows, amap),
+        pa.schema([("canon_id", s), ("n", pa.int64())]),
     )
     _write(
         paths["kg_media_meta"],

@@ -134,6 +134,52 @@ def link_with_map(mentions_df: DataFrame, alias_map: DataFrame) -> DataFrame:
     )
 
 
+def scan_mentions(sentences_df: DataFrame, aliases: list[str]) -> DataFrame:
+    """In-text mention detection (gazetteer scan): sentences(url, sent_id,
+    lang, sentence) → (url, sent_id, mention) for every alias occurrence,
+    leftmost-longest (kgforge.linking.mentions — pure matcher shared with
+    the oracle twin). The alias list is dictionary-bounded (same size
+    assumption as every broadcast join here) and ships in the closure; the
+    scan itself is one Arrow-batched stage, no shuffle, parallelism
+    inherited from the input — the 100-TB-side cost is one pass over the
+    sentences. Canonical ids come from a later broadcast join against the
+    alias map (link_with_map), keeping matcher and linking decoupled."""
+    from typing import Iterator
+
+    from kgforge.linking.mentions import build_mention_index, find_mentions
+
+    en_index, zh_aliases = build_mention_index(aliases)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            sids: list[int] = []
+            surfaces: list[str] = []
+            for url, lang, sid, sentence in zip(
+                pdf["url"].tolist(),
+                pdf["lang"].tolist(),
+                pdf["sent_id"].tolist(),
+                pdf["sentence"].tolist(),
+            ):
+                for surface in find_mentions(
+                    sentence or "", lang or "en", en_index, zh_aliases
+                ):
+                    urls.append(url)
+                    sids.append(sid)
+                    surfaces.append(surface)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_id": pd.Series(sids, dtype="int32"),
+                    "mention": pd.Series(surfaces, dtype="object"),
+                }
+            )
+
+    return sentences_df.select("url", "lang", "sent_id", "sentence").mapInPandas(
+        run, "url string, sent_id int, mention string"
+    )
+
+
 def same_as_edges(alias_df: DataFrame) -> DataFrame:
     """sameAs pairs: distinct entity_ids registered under an identical
     (alias, canon) — duplicate registrations of the same real-world entity.

@@ -34,7 +34,14 @@ def _spark_rows(df) -> set[tuple]:
 
 
 @pytest.mark.parametrize(
-    "name", ["kg_normalize", "kg_triples", "kg_edges_topk", "kg_token_tag_corpus"]
+    "name",
+    [
+        "kg_normalize",
+        "kg_triples",
+        "kg_edges_topk",
+        "kg_token_tag_corpus",
+        "kg_mentions",
+    ],
 )
 def test_spark_matches_expected_parquet(spark, expected_paths, name):
     got = _spark_rows(entry.queries()[name](spark, SF_DIR))

@@ -79,6 +79,14 @@ def main() -> int:
 
     qs = queries()
     oracles = oracle_sql()
+    # the driver contract pins kg_* oracles to sf0.01; when checking another
+    # tier locally, rematerialize the expected tables for THAT tier
+    tier = os.path.basename(args.sf.rstrip("/"))
+    if tier != "sf0.01":
+        from kgforge.fixtures.expected import TIER_DOCS, kg_oracle_sql
+
+        if tier in TIER_DOCS:
+            oracles.update(kg_oracle_sql(tier, args.sf))
 
     con = duckdb.connect()
     for t in TABLES:
