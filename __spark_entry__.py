@@ -203,6 +203,64 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_linked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity linking for mentions with no exact dictionary hit:
+    embedding candidate scoring in mapInPandas (stages.link.link_fuzzy),
+    canonical ids via the broadcast alias map; top-20 accepted links by
+    (score desc, mention asc). Oracle: expected parquet from the shared
+    pure scorer."""
+    from kgforge.stages.extract import sentences, triples
+    from kgforge.stages.link import alias_resolution, link_fuzzy, mentions
+    from kgforge.stages.normalize import normalize
+
+    alias_df = _fixture_alias(spark, sf_dir)
+    trip = triples(sentences(normalize(_fixture_webdocs(spark, sf_dir))))
+    fz = link_fuzzy(mentions(trip), alias_df).where(F.col("alias").isNotNull())
+    amap = alias_resolution(alias_df).select("alias", "canon_id")
+    return (
+        fz.join(F.broadcast(amap), "alias")
+        .select("mention", "alias", "canon_id", "score")
+        .orderBy(F.desc("score"), F.asc("mention"))
+        .limit(20)
+    )
+
+
+def _kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges: canonical entities co-mentioned in one
+    sentence (gazetteer scan → alias map → within-sentence pairs); top-20
+    pairs by count. Oracle: expected parquet from the shared matcher."""
+    from kgforge.stages.extract import sentences
+    from kgforge.stages.link import alias_resolution, scan_mentions
+    from kgforge.stages.normalize import normalize
+
+    alias_df = _fixture_alias(spark, sf_dir)
+    aliases = sorted(
+        r["alias"] for r in alias_df.select("alias").distinct().collect()
+    )
+    sents = sentences(normalize(_fixture_webdocs(spark, sf_dir)))
+    hits = scan_mentions(sents, aliases)
+    amap = alias_resolution(alias_df)
+    ents = (
+        hits.join(F.broadcast(amap), hits["mention"] == amap["alias"])
+        .select("url", "sent_id", "canon_id")
+        .distinct()
+    )
+    a = ents.alias("a")
+    b = ents.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.url") == F.col("b.url"))
+        & (F.col("a.sent_id") == F.col("b.sent_id"))
+        & (F.col("a.canon_id") < F.col("b.canon_id")),
+    ).select(F.col("a.canon_id").alias("e1"), F.col("b.canon_id").alias("e2"))
+    return (
+        pairs.groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"))
+        .limit(20)
+    )
+
+
 def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via the fake
     decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
@@ -236,6 +294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_entities": _kg_entities,
             "kg_edges_topk": _kg_edges_topk,
             "kg_mentions": _kg_mentions,
+            "kg_linked_fuzzy": _kg_linked_fuzzy,
+            "kg_cooccur": _kg_cooccur,
             "kg_media_meta": _kg_media_meta,
             "kg_token_tag_corpus": _kg_token_tag_corpus,
             "kg_pagerank_topk": _kg_pagerank_topk,

@@ -27,7 +27,7 @@ import os
 from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
-EXPECTED_VERSION = "v3"  # bump when any kg_* query semantics change
+EXPECTED_VERSION = "v4"  # bump when any kg_* query semantics change
 TIER_DOCS = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 2000}
 
 KG_TABLES = [
@@ -37,6 +37,8 @@ KG_TABLES = [
     "kg_entities",
     "kg_edges_topk",
     "kg_mentions",
+    "kg_linked_fuzzy",
+    "kg_cooccur",
     "kg_media_meta",
     "kg_token_tag_corpus",
     "kg_pagerank_topk",
@@ -263,6 +265,54 @@ def _mentions_topk(
     return [{"canon_id": c, "n": n} for c, n in ranked]
 
 
+def _linked_fuzzy_topk(
+    triples: list[dict], alias_rows: list[dict], amap: dict[str, str], k: int = 20
+) -> list[dict]:
+    """Twin of _kg_linked_fuzzy: embedding candidate scoring for mentions
+    with no exact alias hit (shared scorer kgforge.linking.fuzzy)."""
+    from kgforge.linking.fuzzy import build_alias_matrix, fuzzy_link_batch
+
+    alias_set = {r["alias"] for r in alias_rows}
+    ms = sorted(
+        {m for t in triples for m in (t["subj"], t["obj"]) if m}
+        - alias_set
+    )
+    surfaces, mat = build_alias_matrix([r["alias"] for r in alias_rows])
+    rows = [
+        {"mention": m, "alias": a, "canon_id": amap[a], "score": s}
+        for m, (a, s) in zip(ms, fuzzy_link_batch(ms, surfaces, mat))
+        if a is not None
+    ]
+    return sorted(rows, key=lambda r: (-r["score"], r["mention"]))[:k]
+
+
+def _cooccur_topk(
+    norm: list[dict], alias_rows: list[dict], amap: dict[str, str], k: int = 20
+) -> list[dict]:
+    """Twin of _kg_cooccur: within-sentence canonical-entity pairs."""
+    from kgforge.extract.triples import split_sentences
+    from kgforge.linking.mentions import build_mention_index, find_mentions
+
+    en_index, zh_aliases = build_mention_index(
+        sorted({r["alias"] for r in alias_rows})
+    )
+    counts: Counter = Counter()
+    for d in norm:
+        for sentence in split_sentences(d["text_norm"], d["lang"]):
+            ents = sorted(
+                {
+                    amap[surface]
+                    for surface in find_mentions(
+                        sentence, d["lang"], en_index, zh_aliases
+                    )
+                }
+            )
+            for e1, e2 in itertools.combinations(ents, 2):
+                counts[(e1, e2)] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [{"e1": a, "e2": b, "n": n} for (a, b), n in ranked]
+
+
 def _pagerank_topk(
     edge_rows: list[tuple[str, str, str]],
     iterations: int = 8,
@@ -439,6 +489,18 @@ def ensure_expected(tier: str = "sf0.01", sf_dir: str | None = None) -> dict[str
         paths["kg_mentions"],
         _mentions_topk(norm, alias_rows, amap),
         pa.schema([("canon_id", s), ("n", pa.int64())]),
+    )
+    _write(
+        paths["kg_linked_fuzzy"],
+        _linked_fuzzy_topk(trips, alias_rows, amap),
+        pa.schema(
+            [("mention", s), ("alias", s), ("canon_id", s), ("score", pa.float64())]
+        ),
+    )
+    _write(
+        paths["kg_cooccur"],
+        _cooccur_topk(norm, alias_rows, amap),
+        pa.schema([("e1", s), ("e2", s), ("n", pa.int64())]),
     )
     _write(
         paths["kg_media_meta"],

@@ -180,6 +180,44 @@ def scan_mentions(sentences_df: DataFrame, aliases: list[str]) -> DataFrame:
     )
 
 
+def link_fuzzy(
+    mentions_df: DataFrame, alias_df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Embedding-based candidate scoring for mentions with NO exact alias
+    match (north-star "ANN candidate scoring in mapInPandas"): left-anti
+    join filters the exact hits, then one Arrow stage scores each leftover
+    mention against the (bounded, closure-shipped) alias embedding matrix
+    via kgforge.linking.fuzzy — deterministic einsum, no threaded BLAS.
+    Output: (mention, alias, score) with alias NULL below threshold."""
+    from typing import Iterator
+
+    from kgforge.linking.fuzzy import build_alias_matrix, fuzzy_link_batch
+
+    raw = [r["alias"] for r in alias_df.select("alias").distinct().collect()]
+    surfaces, mat = build_alias_matrix(raw)
+    unmatched = mentions_df.join(
+        alias_df.select("alias"),
+        mentions_df["mention"] == alias_df["alias"],
+        "left_anti",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ms = pdf["mention"].tolist()
+            res = fuzzy_link_batch(ms, surfaces, mat, threshold)
+            yield pd.DataFrame(
+                {
+                    "mention": pd.Series(ms, dtype="object"),
+                    "alias": pd.Series([a for a, _s in res], dtype="object"),
+                    "score": pd.Series([s for _a, s in res], dtype="float64"),
+                }
+            )
+
+    return unmatched.select("mention").mapInPandas(
+        run, "mention string, alias string, score double"
+    )
+
+
 def same_as_edges(alias_df: DataFrame) -> DataFrame:
     """sameAs pairs: distinct entity_ids registered under an identical
     (alias, canon) — duplicate registrations of the same real-world entity.

@@ -41,6 +41,8 @@ def _spark_rows(df) -> set[tuple]:
         "kg_edges_topk",
         "kg_token_tag_corpus",
         "kg_mentions",
+        "kg_linked_fuzzy",
+        "kg_cooccur",
     ],
 )
 def test_spark_matches_expected_parquet(spark, expected_paths, name):
