@@ -129,6 +129,30 @@ ORDER BY cnt DESC, token ASC
 LIMIT 50
 """
 
+ORACLES["tfidf_top_terms"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE length(token) > 0
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT token, round(sum(tf * ln(n_docs * 1.0 / df)), 4) AS total_tfidf
+  FROM tf JOIN dfreq USING (token), n
+  GROUP BY token
+)
+SELECT token, total_tfidf, df
+FROM scored JOIN dfreq USING (token)
+ORDER BY total_tfidf DESC, token ASC
+LIMIT 30
+"""
+
 ORACLES["mask_chain"] = """
 WITH masked AS (
   SELECT lang,

@@ -348,6 +348,39 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction over the corpus: tf per (doc, token),
+    idf = ln(N/df), top-30 tokens by corpus-wide tf-idf mass. All JVM-side
+    (explode + two grouped aggregates + one broadcast of the 1-row doc
+    count); ln and the final sum are rounded at 4dp on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.length("token") > 0)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum(F.col("tf")).alias("n_occ")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df.select("token", "df")), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+        .groupBy("token")
+        .agg(F.round(F.sum("tfidf"), 4).alias("total_tfidf"))
+    )
+    return (
+        scored.join(df.select("token", "df"), "token")
+        .select("token", "total_tfidf", "df")
+        .orderBy(F.desc("total_tfidf"), F.asc("token"))
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -999,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confusion_report": q_confusion_report,
     "interleave_sources": q_interleave_sources,
     "word_frequency": q_word_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "mask_chain": q_mask_chain,
     "text_quality": q_text_quality,
     "langid_heuristic": q_langid_heuristic,
