@@ -73,6 +73,20 @@ def test_even_line_sampling_has_no_global_sort_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan
 
 
+def test_mention_scan_has_no_shuffle(spark):
+    """Gazetteer scan (kg_mentions core): normalize → sentence split →
+    matcher are all narrow — the 100-TB-side cost is one pass, no
+    exchange."""
+    from kgforge.stages.extract import sentences
+    from kgforge.stages.link import scan_mentions
+    from kgforge.stages.normalize import normalize
+
+    docs, alias_df = _fixture(spark)
+    aliases = sorted(r["alias"] for r in alias_df.select("alias").collect())
+    plan = _plan(scan_mentions(sentences(normalize(docs)), aliases))
+    assert "Exchange" not in plan
+
+
 def test_scan_prunes_binary_column_in_docstream(spark, tmp_path):
     docs, _ = _fixture(spark)
     path = str(tmp_path / "docs")

@@ -67,6 +67,27 @@ def main() -> int:
         "Filters and the 3-column projection reach the parquet scan "
         "(PushedFilters / ReadSchema).",
     )
+    from kgforge.queries import q_embedding_near_dup
+
+    dump(
+        "embedding_near_dup (LSH-bucketed, no cartesian)",
+        q_embedding_near_dup(spark, sf),
+        "Pair generation is an equi-join on (band, bucket); the only "
+        "nested-loop join is the constant 32×64 planes build. No "
+        "CartesianProduct over vectors (asserted in tests/test_near_dup.py).",
+    )
+    from kgforge.stages.extract import sentences
+    from kgforge.stages.link import scan_mentions
+    from kgforge.stages.normalize import normalize
+
+    aliases = sorted(r["alias"] for r in gen_alias_rows(50))
+    dump(
+        "gazetteer mention scan (kg_mentions core)",
+        scan_mentions(sentences(normalize(docs)), aliases),
+        "Three chained narrow stages (normalize mapInPandas → JVM sentence "
+        "split → matcher mapInPandas) — zero shuffles; dictionary ships in "
+        "the closure.",
+    )
     print("\n".join(out))
     spark.stop()
     return 0
