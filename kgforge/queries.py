@@ -363,8 +363,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"), F.sum(F.col("tf")).alias("n_occ")
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # NOTE: the vocabulary (df) is corpus-sized — never broadcast it; the
+    # token-keyed shuffle join is the scale-safe plan (only the 1-row doc
+    # count broadcasts)
     scored = (
-        tf.join(F.broadcast(df.select("token", "df")), "token")
+        tf.join(df.select("token", "df"), "token")
         .join(F.broadcast(n_docs))
         .select(
             "token",
@@ -445,7 +448,10 @@ def _shingles(docs: DataFrame, cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFram
         .where(F.col("df") >= cap)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # no broadcast hint: the hot set is tiny on clean corpora but grows
+    # with boilerplate at web scale — AQE promotes the anti-join to
+    # broadcast when it IS small, and shuffles safely when it isn't
+    return sh.join(hot, "shingle", "left_anti")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
