@@ -129,6 +129,45 @@ ORDER BY cnt DESC, token ASC
 LIMIT 50
 """
 
+ORACLES["quality_filter_stats"] = """
+WITH d AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_symbols
+  FROM documents
+), m AS (
+  SELECT lang,
+         len(toks) AS n_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS word_chars,
+         n_chars, n_symbols,
+         len(list_filter(toks,
+             x -> list_contains(['the','and','of','to','a'], x))) AS n_stop
+  FROM d
+), f AS (
+  SELECT lang,
+         CASE WHEN n_words < 10 OR n_words > 100000 THEN 1 ELSE 0 END
+           AS fail_len,
+         CASE WHEN word_chars < 3 * n_words OR word_chars > 10 * n_words
+              THEN 1 ELSE 0 END AS fail_wordlen,
+         CASE WHEN 10 * n_symbols > n_chars THEN 1 ELSE 0 END AS fail_symbol,
+         CASE WHEN lang = 'en' AND n_stop < 1 THEN 1 ELSE 0 END
+           AS fail_stopword
+  FROM m
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(fail_len) AS BIGINT) AS fail_len,
+       CAST(sum(fail_wordlen) AS BIGINT) AS fail_wordlen,
+       CAST(sum(fail_symbol) AS BIGINT) AS fail_symbol,
+       CAST(sum(fail_stopword) AS BIGINT) AS fail_stopword,
+       CAST(sum(CASE WHEN fail_len + fail_wordlen + fail_symbol
+                          + fail_stopword = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_all
+FROM f GROUP BY lang
+"""
+
 ORACLES["tfidf_top_terms"] = """
 WITH tok AS (
   SELECT doc_id,

@@ -348,6 +348,67 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filter (training-data pipeline):
+    per-lang counts of docs failing each rule and passing all. Every rule
+    is INTEGER-exact (e.g. mean-word-length ∈ [3,10] as 3·n ≤ chars ≤ 10·n)
+    so both engines agree without FP-threshold edge cases.
+
+    Rules (Rae et al. 2021 "Gopher" §A1.1-style, thresholds adapted to the
+    short synthetic docs): word count ∈ [10, 100000]; mean word length ∈
+    [3, 10]; symbol ratio ≤ 10% (non-alnum, non-space chars / chars);
+    ≥ 1 stopword from a small English evidence list (en docs only)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_chars = F.length("text")
+    n_symbols = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a"))
+    )
+    d = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_stop.alias("n_stop"),
+    ).select(
+        "lang",
+        ((F.col("n_words") < 10) | (F.col("n_words") > 100000))
+        .cast("int")
+        .alias("fail_len"),
+        (
+            (F.col("word_chars") < 3 * F.col("n_words"))
+            | (F.col("word_chars") > 10 * F.col("n_words"))
+        )
+        .cast("int")
+        .alias("fail_wordlen"),
+        (10 * F.col("n_symbols") > F.col("n_chars")).cast("int").alias("fail_symbol"),
+        ((F.col("lang") == "en") & (F.col("n_stop") < 1))
+        .cast("int")
+        .alias("fail_stopword"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fail_len").alias("fail_len"),
+        F.sum("fail_wordlen").alias("fail_wordlen"),
+        F.sum("fail_symbol").alias("fail_symbol"),
+        F.sum("fail_stopword").alias("fail_stopword"),
+        F.sum(
+            (
+                (F.col("fail_len") + F.col("fail_wordlen") + F.col("fail_symbol") + F.col("fail_stopword"))
+                == 0
+            ).cast("int")
+        ).alias("pass_all"),
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction over the corpus: tf per (doc, token),
     idf = ln(N/df), top-30 tokens by corpus-wide tf-idf mass. All JVM-side
@@ -1039,6 +1100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interleave_sources": q_interleave_sources,
     "word_frequency": q_word_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "quality_filter_stats": q_quality_filter_stats,
     "mask_chain": q_mask_chain,
     "text_quality": q_text_quality,
     "langid_heuristic": q_langid_heuristic,
