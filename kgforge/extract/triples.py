@@ -116,15 +116,44 @@ def _trim_obj(pairs: list[tuple[str, bool]]) -> list[str]:
     return out
 
 
+# zh function-word prefixes a greedy CJK subject span can absorb (temporal
+# adverbs / reporting markers); stripped after the match — without a word
+# segmenter this is the bounded fix for "昨天王伟在…" → subj "王伟"
+_ZH_SUBJ_PREFIXES = (
+    "昨天", "今天", "明天", "后天", "前天", "近日", "日前", "据悉",
+    "据报道", "此外", "另外", "目前", "现在", "随后", "同时",
+)
+
+
+def _strip_zh_prefixes(span: str) -> str:
+    # possessive: "南山资本的张强" → "张强" (的 is a particle, not part of
+    # an entity name; keep the head only)
+    if "的" in span:
+        tail = span.rsplit("的", 1)[1]
+        if len(tail) >= 2:
+            span = tail
+    changed = True
+    while changed and len(span) > 2:
+        changed = False
+        for p in _ZH_SUBJ_PREFIXES:
+            if span.startswith(p) and len(span) - len(p) >= 2:
+                span = span[len(p):]
+                changed = True
+                break
+    return span
+
+
 def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
     """Chinese pattern extraction over a (space-free) normalized sentence.
     Each pattern may fire once per sentence position; predicates reuse the
-    English relation labels so the canonical graph is language-uniform."""
+    English relation labels so the canonical graph is language-uniform.
+    Matched subject spans are stripped of leading temporal/reporting
+    function words (the greedy-CJK-span refinement from BACKLOG #4)."""
     body = sentence.strip(_EDGE_PUNCT + " ")
     triples: list[tuple[str, str, str, float]] = []
     for rx, pred in ZH_REL_PATTERNS:
         for m in rx.finditer(body):
-            subj, obj = m.group(1), m.group(2)
+            subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
             if subj and obj and subj != obj:
                 triples.append((subj, pred, obj, 0.8))
     return triples

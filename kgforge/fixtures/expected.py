@@ -27,7 +27,7 @@ import os
 from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
-EXPECTED_VERSION = "v4"  # bump when any kg_* query semantics change
+EXPECTED_VERSION = "v5"  # bump when any kg_* query semantics change
 TIER_DOCS = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 2000}
 
 KG_TABLES = [

@@ -57,6 +57,10 @@ GOLD = [
      [("atlas marine", "located in", "oslo")], True),  # copula before rel
     ("Golden software has acquired marine logistics.", "en",
      [("golden software", "acquired", "marine logistics")], True),  # aux
+    ("昨天王伟在天河科技工作。", "zh",
+     [("王伟", "works at", "天河科技")], True),  # temporal prefix stripped
+    ("南山资本的张强投资了华光能源。", "zh",
+     [("张强", "invested in", "华光能源")], True),  # possessive 的 stripped
 ]
 
 
