@@ -181,16 +181,14 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan_mentions): alias occurrences in every normalized sentence, linked
     to canonical ids via the broadcast alias map; top-20 entities by
     mention count. Oracle: expected parquet from the shared pure matcher."""
-    from kgforge.stages.extract import sentences
-    from kgforge.stages.link import alias_resolution, scan_mentions
-    from kgforge.stages.normalize import normalize
+    from kgforge.stages.docstream import scan_mentions_docstream
+    from kgforge.stages.link import alias_resolution
 
     alias_df = _fixture_alias(spark, sf_dir)
     aliases = sorted(
         r["alias"] for r in alias_df.select("alias").distinct().collect()
     )
-    sents = sentences(normalize(_fixture_webdocs(spark, sf_dir)))
-    hits = scan_mentions(sents, aliases)
+    hits = scan_mentions_docstream(_fixture_webdocs(spark, sf_dir), aliases)
     amap = alias_resolution(alias_df)
     linked = hits.join(
         F.broadcast(amap), hits["mention"] == amap["alias"]
@@ -229,16 +227,14 @@ def _kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence edges: canonical entities co-mentioned in one
     sentence (gazetteer scan → alias map → within-sentence pairs); top-20
     pairs by count. Oracle: expected parquet from the shared matcher."""
-    from kgforge.stages.extract import sentences
-    from kgforge.stages.link import alias_resolution, scan_mentions
-    from kgforge.stages.normalize import normalize
+    from kgforge.stages.docstream import scan_mentions_docstream
+    from kgforge.stages.link import alias_resolution
 
     alias_df = _fixture_alias(spark, sf_dir)
     aliases = sorted(
         r["alias"] for r in alias_df.select("alias").distinct().collect()
     )
-    sents = sentences(normalize(_fixture_webdocs(spark, sf_dir)))
-    hits = scan_mentions(sents, aliases)
+    hits = scan_mentions_docstream(_fixture_webdocs(spark, sf_dir), aliases)
     amap = alias_resolution(alias_df)
     ents = (
         hits.join(F.broadcast(amap), hits["mention"] == amap["alias"])
@@ -258,6 +254,38 @@ def _kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"))
         .limit(20)
+    )
+
+
+def _kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics beside PageRank: total-degree histogram of the
+    canonical entity graph (distinct edges; degree = in + out). Top-30
+    degree values by node count. Oracle: expected parquet twin."""
+    from kgforge.stages.canonicalize import rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+
+    alias_df = _fixture_alias(spark, sf_dir)
+    mention_map = alias_resolution(alias_df).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    edges = rewrite_triples(
+        extract_docstream(_fixture_webdocs(spark, sf_dir)), mention_map
+    )
+    e = edges.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    ).distinct()
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("degree"))
+        .limit(30)
     )
 
 
@@ -296,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_mentions": _kg_mentions,
             "kg_linked_fuzzy": _kg_linked_fuzzy,
             "kg_cooccur": _kg_cooccur,
+            "kg_degree_hist": _kg_degree_hist,
             "kg_media_meta": _kg_media_meta,
             "kg_token_tag_corpus": _kg_token_tag_corpus,
             "kg_pagerank_topk": _kg_pagerank_topk,

@@ -118,7 +118,22 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     t0 = time.perf_counter()
     n_edges = rewrite_triples(extract_docstream(webdocs), mention_map).count()
     timings["kg_docstream"] = round(time.perf_counter() - t0, 3)
-    total += timings["kg_refdata"] + timings["kg_normalize"] + timings["kg_docstream"]
+
+    # gazetteer mention scan over the same corpus (kg_mentions core path,
+    # fused: one python stage like the docstream)
+    from kgforge.stages.docstream import scan_mentions_docstream
+
+    aliases = sorted(r["alias"] for r in alias_df.select("alias").distinct().collect())
+    t0 = time.perf_counter()
+    n_mentions = scan_mentions_docstream(webdocs, aliases).count()
+    timings["kg_mention_scan"] = round(time.perf_counter() - t0, 3)
+
+    total += (
+        timings["kg_refdata"]
+        + timings["kg_normalize"]
+        + timings["kg_docstream"]
+        + timings["kg_mention_scan"]
+    )
 
     result = {
         "metric": "kgforge_headline_sec",
@@ -131,6 +146,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "kg_edges": n_edges,
         "kg_fixture_gen_sec": fixture_gen_sec,
         "kg_docs_per_sec": round(KG_BENCH_DOCS / timings["kg_docstream"], 2),
+        "kg_mentions_found": n_mentions,
         "unbounded_near_dup": unbounded,
     }
     spark.stop()

@@ -27,7 +27,7 @@ import os
 from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
-EXPECTED_VERSION = "v5"  # bump when any kg_* query semantics change
+EXPECTED_VERSION = "v6"  # bump when any kg_* query semantics change
 TIER_DOCS = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 2000}
 
 KG_TABLES = [
@@ -39,6 +39,7 @@ KG_TABLES = [
     "kg_mentions",
     "kg_linked_fuzzy",
     "kg_cooccur",
+    "kg_degree_hist",
     "kg_media_meta",
     "kg_token_tag_corpus",
     "kg_pagerank_topk",
@@ -313,6 +314,20 @@ def _cooccur_topk(
     return [{"e1": a, "e2": b, "n": n} for (a, b), n in ranked]
 
 
+def _degree_hist(edge_rows: list[tuple[str, str, str]], k: int = 30) -> list[dict]:
+    """Twin of _kg_degree_hist: total-degree histogram over the distinct
+    (src, dst) pairs (self-loops count both endpoints, mirroring the
+    Spark unionAll)."""
+    e = sorted({(s, o) for s, _p, o in edge_rows})
+    deg: Counter = Counter()
+    for s, o in e:
+        deg[s] += 1
+        deg[o] += 1
+    hist = Counter(deg.values())
+    ranked = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [{"degree": d, "n_nodes": n} for d, n in ranked]
+
+
 def _pagerank_topk(
     edge_rows: list[tuple[str, str, str]],
     iterations: int = 8,
@@ -501,6 +516,11 @@ def ensure_expected(tier: str = "sf0.01", sf_dir: str | None = None) -> dict[str
         paths["kg_cooccur"],
         _cooccur_topk(norm, alias_rows, amap),
         pa.schema([("e1", s), ("e2", s), ("n", pa.int64())]),
+    )
+    _write(
+        paths["kg_degree_hist"],
+        _degree_hist(edge_rows),
+        pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())]),
     )
     _write(
         paths["kg_media_meta"],

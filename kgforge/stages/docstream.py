@@ -81,3 +81,65 @@ def extract_docstream(
 
     src = webdocs.select("url", "warc_ts", "text", "lang")
     return src.mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def scan_mentions_docstream(
+    webdocs: DataFrame,
+    aliases: list[str],
+    backend: str = "mock",
+    max_sequence_length: int = DEFAULT_MAX_SEQUENCE_LENGTH,
+    **backend_kwargs,
+) -> DataFrame:
+    """Fused gazetteer path: webdocs → (url, sent_id, mention) in ONE
+    Python stage (punctuate + sentence split + leftmost-longest alias scan
+    — the same fusion rationale as ``extract_docstream``: chained Python
+    stages pay worker startup and Arrow crossings twice). Output is
+    identical to ``scan_mentions(sentences(normalize(webdocs)), aliases)``
+    (asserted in tests/test_mentions.py)."""
+    from kgforge.extract.triples import split_sentences
+    from kgforge.linking.mentions import build_mention_index, find_mentions
+
+    currency_pattern = currency_regex_pattern()
+    en_index, zh_aliases = build_mention_index(aliases)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgforge.textnorm.constants import prime_currency_pattern
+        from kgforge.textnorm.tagger import get_tagger
+
+        prime_currency_pattern(currency_pattern)
+        taggers: dict[str, object] = {}
+        for pdf in batches:
+            urls: list[str] = []
+            sids: list[int] = []
+            surfaces: list[str] = []
+            for url, text, lang in zip(
+                pdf["url"].tolist(), pdf["text"].tolist(), pdf["lang"].tolist()
+            ):
+                lang = lang or "en"
+                tagger = taggers.get(lang)
+                if tagger is None:
+                    tagger = get_tagger(backend, lang, **backend_kwargs)
+                    taggers[lang] = tagger
+                text_norm, _labels = punctuate_one(
+                    text or "", tagger, _tag_map(lang), max_sequence_length
+                )
+                for sent_id, sentence in enumerate(
+                    split_sentences(text_norm, lang)
+                ):
+                    for surface in find_mentions(
+                        sentence, lang, en_index, zh_aliases
+                    ):
+                        urls.append(url)
+                        sids.append(sent_id)
+                        surfaces.append(surface)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_id": pd.Series(sids, dtype="int32"),
+                    "mention": pd.Series(surfaces, dtype="object"),
+                }
+            )
+
+    return webdocs.select("url", "text", "lang").mapInPandas(
+        run, "url string, sent_id int, mention string"
+    )
