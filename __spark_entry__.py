@@ -13,7 +13,12 @@
   semantics (mock tagger + reference text-normalization), so their
   oracles are SELECTs over expected-output parquet materialized OFF-Spark
   by the pure-Python twin of each stage (``kgforge.fixtures.expected``) —
-  every contract query gets the driver's full rows+schema+hash check.
+  every contract query gets the driver's rows+schema+hash check. NOTE the
+  kg_* twin imports the same pure modules the Spark stages execute, so
+  that check validates distributed plumbing, not the shared semantics —
+  those are gated independently by the hand-annotated gold sets and the
+  reference-vendored byte-identity tests (see kgforge/fixtures/expected.py
+  module docstring).
 """
 
 from __future__ import annotations

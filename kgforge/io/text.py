@@ -50,10 +50,22 @@ def sniff_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
     for bom, enc in _BOMS:
         if head.startswith(bom):
             return enc
+    # The sample boundary can split a multibyte UTF-8 sequence when the
+    # file is larger than the sample: a decode error whose offset is within
+    # 3 bytes of the sample end is an incomplete tail, not bad UTF-8
+    # (UTF-8 sequences are ≤ 4 bytes), so trim to the last complete
+    # sequence instead of misdetecting the whole file as ISO-8859-1.
+    truncated = len(head) == sample_bytes
     try:
         head.decode("utf-8", errors="strict")
         return "UTF-8"
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as err:
+        if truncated and err.start >= len(head) - 3:
+            try:
+                head[: err.start].decode("utf-8", errors="strict")
+                return "UTF-8"
+            except UnicodeDecodeError:
+                pass
         return "ISO-8859-1"
 
 

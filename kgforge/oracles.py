@@ -137,6 +137,7 @@ WITH d AS (
          length(text) AS n_chars,
          length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_symbols
   FROM documents
+  WHERE text IS NOT NULL
 ), m AS (
   SELECT lang,
          len(toks) AS n_words,

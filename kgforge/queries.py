@@ -357,8 +357,12 @@ def q_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rules (Rae et al. 2021 "Gopher" §A1.1-style, thresholds adapted to the
     short synthetic docs): word count ∈ [10, 100000]; mean word length ∈
     [3, 10]; symbol ratio ≤ 10% (non-alnum, non-space chars / chars);
-    ≥ 1 stopword from a small English evidence list (en docs only)."""
-    docs = _t(spark, sf_dir, "documents")
+    ≥ 1 stopword from a small English evidence list (en docs only).
+
+    NULL text is excluded identically on both engines (round-2 advisor:
+    Spark size(split(NULL)) = -1 → fail_len, while DuckDB CASE on NULL
+    falls to ELSE 0 → the engines would diverge on any NULL row)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
     )

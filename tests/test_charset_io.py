@@ -27,6 +27,22 @@ def test_sniff_utf8(tmp_path):
     assert sniff_encoding(str(p)) == "UTF-8"
 
 
+def test_sniff_utf8_sample_boundary_splits_multibyte(tmp_path):
+    """A valid UTF-8 file larger than the sample whose sample boundary
+    lands mid-multibyte-sequence must still detect as UTF-8 (round-2
+    advisor: the truncated tail raised UnicodeDecodeError and the file was
+    misdetected as ISO-8859-1, mojibake-ing the distributed read)."""
+    p = tmp_path / "big.txt"
+    sample = 64
+    body = b"a" * (sample - 1) + "é".encode("utf-8")  # 2-byte seq split at 64
+    p.write_bytes(body + "reste du texte café\n".encode("utf-8") * 10)
+    assert sniff_encoding(str(p), sample_bytes=sample) == "UTF-8"
+    # a genuinely non-UTF-8 file is still latin-1 even when truncated
+    q = tmp_path / "bad.txt"
+    q.write_bytes(("x" * 30 + "café niño ").encode("iso-8859-1") * 10)
+    assert sniff_encoding(str(q), sample_bytes=sample) == "ISO-8859-1"
+
+
 def test_sniff_boms(tmp_path):
     cases = [
         ("utf-8-sig", "UTF-8"),
