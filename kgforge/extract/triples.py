@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-# relation lexicon (ReVerb's V | V P pattern class, closed-world here);
+# High-confidence closed relation lexicon (tier 1): exact surface forms,
 # longest-first matching. kgforge.fixtures.gen imports this list so the
 # fixture generator and extractor stay in lockstep.
 REL_LEXICON: list[tuple[str, ...]] = [
@@ -34,7 +34,121 @@ _STOPWORDS = {
     "the", "a", "an", "and", "or", "but", "while", "with", "for", "to",
     "of", "in", "on", "at", "by", "from", "about", "as", "into", "after",
     "before", "despite", "across", "continue", "continued",
+    # pronouns / relativizers: junk as KG entity spans — they stop a span
+    # exactly like function words (prevents e.g. ("which", "based in", X))
+    "who", "whom", "whose", "which", "that", "where", "when", "it", "its",
+    "he", "she", "they", "them", "his", "her", "their", "we", "us", "our",
+    "you", "your", "i", "this", "these", "those",
 }
+
+# ---------------------------------------------------------------------------
+# Open relation tier (tier 2) — the ReVerb pattern class (SURVEY §2.11):
+#     rel = V | V P | V W* P
+# (Fader, Soderland, Etzioni, "Identifying Relations for Open Information
+# Extraction", EMNLP 2011 — public paper). ReVerb's syntactic constraint
+# needs a POS tagger; offline (no spacy/nltk in this environment) the
+# verb-ish predicate comes from a curated common-verb stem dictionary with
+# rule-generated inflections, and W* is restricted to an adverb set (full
+# noun/adj W* without POS costs too much precision). Passive agents are
+# normalized: BE + V-ed + "by" emits the active-voice triple (agent, V-ed,
+# patient). The closed lexicon above stays the high-confidence tier
+# (conf ∈ [0.75, 1.0]); open-tier triples carry conf ∈ [0.5, 0.7].
+# ---------------------------------------------------------------------------
+
+# Curated verb stems (common web/business English). Deliberately excluded:
+# noun-dominant homographs (report, study, train, name, place, head, plan,
+# demand, value) and stems whose participles are common attributive
+# adjectives (unite → united, advance → advanced) — without POS tags those
+# fire inside noun phrases and entity names.
+_VERB_STEMS = {
+    "acquire", "announce", "appoint", "approve", "base", "build", "buy",
+    "celebrate", "collaborate", "complete", "confirm", "create", "deliver",
+    "design", "develop", "disclose", "donate", "earn", "employ",
+    "establish", "expand", "expect", "explore", "export", "finance",
+    "fund", "found", "generate", "graduate", "grow", "headquarter", "hire",
+    "hold", "host", "improve", "introduce", "invent", "invest", "join",
+    "launch", "lead", "license", "locate", "maintain", "manage",
+    "manufacture", "mentor", "merge", "move", "offer", "open", "operate",
+    "oversee", "own", "partner", "pay", "produce", "promote", "provide",
+    "publish", "purchase", "raise", "receive", "recruit", "release",
+    "relocate", "rename", "represent", "retire", "review", "run", "sell",
+    "serve", "ship", "show", "sign", "specialize", "sponsor", "start",
+    "succeed", "supervise", "supply", "support", "teach", "transfer",
+    "unveil", "visit", "win", "work", "write",
+}
+
+# stems that double the final consonant before -ed/-ing (opt-in: the
+# generic CVC heuristic misfires on open→openned, visit→visitted)
+_DOUBLE_FINAL = {"plan", "ship", "stop", "drop", "swap", "map", "run", "win"}
+
+# irregular past / participle forms (stems above whose -ed rule fails,
+# plus a few high-frequency extras); all are verb-only surface forms
+_IRREGULAR_FORMS = {
+    "held", "led", "met", "sold", "bought", "built", "made", "ran", "won",
+    "grew", "grown", "became", "began", "begun", "left", "took", "taken",
+    "gave", "given", "brought", "wrote", "written", "taught", "paid",
+    "chose", "chosen", "kept", "sent", "spent", "spoke", "spoken", "knew",
+    "known", "rose", "risen", "flew", "flown", "drove", "driven",
+}
+# irregular forms usable as passive participles (BE + form + "by")
+_IRREGULAR_PARTICIPLES = {
+    "held", "sold", "bought", "built", "made", "won", "grown", "begun",
+    "taken", "given", "brought", "written", "taught", "paid", "chosen",
+    "kept", "sent", "spent", "spoken", "known", "flown", "driven",
+}
+
+
+def _inflections(stem: str) -> set[str]:
+    """Rule-generated surface forms of a verb stem: base, 3sg, past/
+    participle, gerund."""
+    forms = {stem}
+    if stem.endswith(("s", "x", "z", "ch", "sh", "o")):
+        forms.add(stem + "es")
+    elif stem.endswith("y") and stem[-2] not in "aeiou":
+        forms.add(stem[:-1] + "ies")
+    else:
+        forms.add(stem + "s")
+    if stem.endswith("e"):
+        forms.add(stem + "d")
+        forms.add(stem[:-1] + "ing")
+    elif stem.endswith("y") and stem[-2] not in "aeiou":
+        forms.add(stem[:-1] + "ied")
+        forms.add(stem + "ing")
+    else:
+        base = stem + (stem[-1] if stem in _DOUBLE_FINAL else "")
+        forms.add(base + "ed")
+        forms.add(base + "ing")
+    return forms
+
+
+_VERB_FORMS = frozenset(
+    f for s in _VERB_STEMS for f in _inflections(s)
+) | frozenset(_IRREGULAR_FORMS)
+
+# prepositions/particles that may END a ReVerb relation phrase (the P in
+# V P | V W* P); "by" is also the passive agent marker handled separately
+_REL_PREPS = {
+    "at", "in", "on", "with", "by", "for", "to", "of", "from", "into",
+    "onto", "under", "over", "through", "during", "within", "against",
+    "near", "as", "between", "among", "across", "toward", "towards",
+    "about",
+}
+
+# the W* filler between V and P — adverbs only (see tier-2 note above)
+_REL_ADVERBS = {
+    "not", "also", "already", "still", "currently", "formerly", "recently",
+    "officially", "jointly", "later", "previously", "reportedly", "once",
+    "again", "then", "now", "publicly", "together", "closely", "primarily",
+    "mainly", "mostly", "partly", "initially", "originally", "eventually",
+    "heavily", "directly", "largely", "significantly",
+}
+
+_BE = {"is", "was", "are", "were", "been", "being", "be"}
+
+# appositive / relative clause between commas (", who runs vertex
+# analytics,") — stripped before matching so the subject span can reach
+# across it (the round-2 clause-boundary trap)
+_REL_CLAUSE = re.compile(r",\s*(?:who|whom|whose|which|that)\b[^,]*,")
 
 # auxiliaries/copulas abutting a relation are skipped, not kept as entity
 # tokens ("X is located in Y", "X has acquired Y" — the dominant web-text
@@ -50,15 +164,20 @@ _ZH_SENT_SPLIT = re.compile(r"(?<=[。？！?!])\s*")
 _EDGE_PUNCT = ".,?!。，？！、"
 
 # Chinese relation patterns (pattern-based counterpart of the English
-# lexicon): leftmost match wins; groups are (subj, obj). Entity spans are
-# bounded CJK runs so a mid-sentence match can't swallow the whole text.
+# tiers): leftmost match wins; groups are (subj, obj); ``swap=True`` marks
+# passive constructions (被-voice) whose groups are (patient, agent) and
+# must be emitted agent-first. Entity spans are bounded CJK runs so a
+# mid-sentence match can't swallow the whole text. Predicates reuse the
+# English relation labels so the canonical graph is language-uniform.
 _ZH_ENT = r"([一-鿿]{2,8})"
-ZH_REL_PATTERNS: list[tuple[re.Pattern, str]] = [
-    (re.compile(_ZH_ENT + "在" + _ZH_ENT + "工作"), "works at"),
-    (re.compile(_ZH_ENT + "收购了?" + _ZH_ENT), "acquired"),
-    (re.compile(_ZH_ENT + "位于" + _ZH_ENT), "located in"),
-    (re.compile(_ZH_ENT + "投资了?" + _ZH_ENT), "invested in"),
-    (re.compile(_ZH_ENT + "成立于" + _ZH_ENT), "founded"),
+ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
+    (re.compile(_ZH_ENT + "在" + _ZH_ENT + "工作"), "works at", False),
+    (re.compile(_ZH_ENT + "被" + _ZH_ENT + "收购"), "acquired", True),
+    (re.compile(_ZH_ENT + "收购了?" + _ZH_ENT), "acquired", False),
+    (re.compile(_ZH_ENT + "位于" + _ZH_ENT), "located in", False),
+    (re.compile(_ZH_ENT + "投资了?" + _ZH_ENT), "invested in", False),
+    (re.compile(_ZH_ENT + "成立于" + _ZH_ENT), "founded", False),
+    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "合作"), "partnered with", False),
 ]
 
 MAX_ARG_TOKENS = 4  # entity window either side of the relation
@@ -81,14 +200,18 @@ def _clean_token(tok: str) -> str:
 
 def _trim_subj(pairs: list[tuple[str, bool]]) -> list[str]:
     """Scan right-to-left from the relation: skip relation-adjacent
-    auxiliaries, then stop at stopwords, empties, or a clause boundary
-    (a token carrying trailing punctuation belongs to the previous clause
-    and is excluded)."""
+    auxiliaries and adverbs, then stop at stopwords, empties, or a clause
+    boundary (a token carrying trailing punctuation belongs to the
+    previous clause and is excluded)."""
     out: list[str] = []
     started = False
     for tok, trailing_punct in reversed(pairs):
-        if not started and tok in _AUX and not trailing_punct:
-            continue  # "X is located in", "X has acquired"
+        if (
+            not started
+            and (tok in _AUX or tok in _REL_ADVERBS)
+            and not trailing_punct
+        ):
+            continue  # "X is located in", "X has acquired", "X officially merged"
         started = True
         if tok in _STOPWORDS or not tok or trailing_punct:
             break
@@ -151,25 +274,51 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
     function words (the greedy-CJK-span refinement from BACKLOG #4)."""
     body = sentence.strip(_EDGE_PUNCT + " ")
     triples: list[tuple[str, str, str, float]] = []
-    for rx, pred in ZH_REL_PATTERNS:
+    for rx, pred, swap in ZH_REL_PATTERNS:
         for m in rx.finditer(body):
             subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
+            if swap:  # 被-passive: group(1) is the patient, group(2) the agent
+                subj, obj = obj, _strip_zh_prefixes(m.group(1))
             if subj and obj and subj != obj:
                 triples.append((subj, pred, obj, 0.8))
     return triples
 
 
+def _is_participle(tok: str) -> bool:
+    return (tok.endswith("ed") and tok in _VERB_FORMS) or (
+        tok in _IRREGULAR_PARTICIPLES
+    )
+
+
+def _open_conf(subj_tokens: list[str], obj_tokens: list[str]) -> float:
+    return round(
+        0.3
+        + 0.2 * min(1.0, len(subj_tokens) / 2)
+        + 0.2 * min(1.0, len(obj_tokens) / 2),
+        4,
+    )
+
+
 def extract_triples(
     sentence: str, lang: str = "en"
 ) -> list[tuple[str, str, str, float]]:
-    """(subj, pred, obj, conf) tuples from one sentence. English: relation
-    = leftmost longest lexicon match; subj = nearest non-stopword span left
-    of it; obj = nearest non-stopword span right; conf scales with argument
-    tightness (1.0 when both args abut the relation at full length).
+    """(subj, pred, obj, conf) tuples from one sentence.
+
+    English — two tiers, leftmost match wins at each position:
+    1. closed-lexicon exact relations (``REL_LEXICON``, longest match,
+       conf ∈ [0.75, 1.0]);
+    2. ReVerb pattern class ``V | V P | V W* P`` (verb dictionary + adverb
+       W* + relation-ending preposition, conf ∈ [0.5, 0.7]), including the
+       passive normalization ``BE + V-ed + by`` → (agent, V-ed, patient).
+    Relative/appositive clauses between commas are skipped so subject
+    spans reach across them. subj = nearest non-stopword span left of the
+    relation; obj = nearest non-stopword span right; conf scales with
+    argument tightness.
+
     Chinese: bounded regex patterns (``ZH_REL_PATTERNS``)."""
     if lang == "zh":
         return extract_triples_zh(sentence)
-    raw = sentence.split()
+    raw = _REL_CLAUSE.sub(" ", sentence).split()
     tokens = [_clean_token(t) for t in raw]
     boundary = [t != t.rstrip(_EDGE_PUNCT) for t in raw]  # trailing punct
     pairs = list(zip(tokens, boundary))
@@ -177,29 +326,81 @@ def extract_triples(
     i = 0
     n = len(tokens)
     while i < n:
+        tok = tokens[i]
+        # tier 2a — passive agent: BE + V-ed + "by" → active-voice triple
+        if (
+            _is_participle(tok)
+            and not boundary[i]
+            and i > 0
+            and tokens[i - 1] in _BE
+            and i + 1 < n
+            and tokens[i + 1] == "by"
+            and not boundary[i + 1]
+        ):
+            subj_tokens = _trim_obj(pairs[i + 2 :])  # the agent, after "by"
+            obj_tokens = _trim_subj(pairs[:i])  # the patient (aux skipped)
+            if subj_tokens and obj_tokens:
+                triples.append(
+                    (
+                        " ".join(subj_tokens),
+                        tok,
+                        " ".join(obj_tokens),
+                        _open_conf(subj_tokens, obj_tokens),
+                    )
+                )
+                i += 2
+                continue
+        # tier 1 — closed lexicon, longest match
         match: tuple[str, ...] | None = None
         for rel in REL_LEXICON:
             k = len(rel)
             if i + k <= n and tuple(tokens[i : i + k]) == rel:
                 if match is None or k > len(match):
                     match = rel
-        if match is None:
-            i += 1
+        if match is not None:
+            k = len(match)
+            subj_tokens = _trim_subj(pairs[:i])
+            obj_tokens = _trim_obj(pairs[i + k :])
+            if subj_tokens and obj_tokens:
+                conf = round(
+                    0.5
+                    + 0.25 * min(1.0, len(subj_tokens) / 2)
+                    + 0.25 * min(1.0, len(obj_tokens) / 2),
+                    4,
+                )
+                triples.append(
+                    (
+                        " ".join(subj_tokens),
+                        " ".join(match),
+                        " ".join(obj_tokens),
+                        conf,
+                    )
+                )
+            i += k
             continue
-        k = len(match)
-        subj_tokens = _trim_subj(pairs[:i])
-        obj_tokens = _trim_obj(pairs[i + k :])
-        if subj_tokens and obj_tokens:
-            conf = round(
-                0.5
-                + 0.25 * min(1.0, len(subj_tokens) / 2)
-                + 0.25 * min(1.0, len(obj_tokens) / 2),
-                4,
-            )
-            triples.append(
-                (" ".join(subj_tokens), " ".join(match), " ".join(obj_tokens), conf)
-            )
-        i += k
+        # tier 2b — open pattern: V | V P | V ADV* P
+        if tok in _VERB_FORMS and tok not in _AUX and tok not in _STOPWORDS:
+            rel_end = i
+            if not boundary[i]:
+                j = i + 1
+                while j < n and tokens[j] in _REL_ADVERBS and not boundary[j]:
+                    j += 1
+                if j < n and tokens[j] in _REL_PREPS:
+                    rel_end = j
+            subj_tokens = _trim_subj(pairs[:i])
+            obj_tokens = _trim_obj(pairs[rel_end + 1 :])
+            if subj_tokens and obj_tokens:
+                triples.append(
+                    (
+                        " ".join(subj_tokens),
+                        " ".join(tokens[i : rel_end + 1]),
+                        " ".join(obj_tokens),
+                        _open_conf(subj_tokens, obj_tokens),
+                    )
+                )
+            i = rel_end + 1
+            continue
+        i += 1
     return triples
 
 

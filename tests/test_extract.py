@@ -35,8 +35,14 @@ def test_extract_multiword_relation_and_stopword_trim():
     assert got2[0][:3] == ("maria khan 2", "invested in", "apex labs 1")
 
 
+def test_extract_open_tier_verb():
+    # "shows" is outside REL_LEXICON — caught by the open ReVerb tier
+    got = extract_triples("The market report shows strong demand.")
+    assert [t[:3] for t in got] == [("market report", "shows", "strong demand")]
+
+
 def test_extract_no_relation_no_triple():
-    assert extract_triples("The market report shows strong demand.") == []
+    assert extract_triples("Quarterly growth across all regions.") == []
     assert extract_triples("acquired nothing") == []  # no subject
 
 

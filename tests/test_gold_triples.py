@@ -4,27 +4,28 @@ finding #4: fixtures derive surface forms from REL_LEXICON itself, so the
 P/R=1.0 gate could not fail by construction).
 
 The gold annotations are what a human would mark, NOT what the extractor
-emits: they include out-of-lexicon relations (employs, partnered-with-zh),
-passive voice, clause-boundary traps, determiner-initial objects, and a
-quantity-object false-positive trap. The extractor is a closed-lexicon
-pattern matcher, so overall recall is honestly < 1; the gates are:
+emits: they cover both tiers (closed lexicon + ReVerb V | V P | V W* P),
+passive-voice normalization, relative-clause subject spans, determiner-
+initial objects, noun-verb-ambiguity traps, quantity-object traps, and
+structurally-unreachable constructions (infinitival relations, nominal
+relations, coordinated objects). Gates (SURVEY §2.11 parity bar plus the
+round-2 judge's tier-2 targets):
 
-- recall = 1.0 on the CLEAN in-lexicon subset (sentences the design
-  claims to handle) — the SURVEY §2.11 parity bar (≥ 0.95);
-- overall precision ≥ 0.85 and overall recall ≥ 0.70 on the full gold
+- recall = 1.0 on the CLEAN subset (sentences the design claims to
+  handle);
+- overall precision ≥ 0.85 and overall recall ≥ 0.90 on the full gold
   set, with the honest numbers printed for BASELINE.md.
 """
 
 from kgforge.extract.triples import extract_triples
 
 # (sentence, lang, gold triples as (subj, pred, obj), clean?)
-# clean=True → in-lexicon, boundary-clean: the extractor is REQUIRED to
+# clean=True → in-pattern, boundary-clean: the extractor is REQUIRED to
 # get these right. clean=False → adversarial: misses/FPs are measured.
 GOLD = [
+    # --- tier 1: closed lexicon ---------------------------------------
     ("Maria lopez works at global dynamics.", "en",
      [("maria lopez", "works at", "global dynamics")], True),
-    ("Acme robotics employs james smith.", "en",
-     [("acme robotics", "employs", "james smith")], False),  # out-of-lexicon
     ("The firm merged with apex holdings.", "en",
      [("firm", "merged with", "apex holdings")], True),
     ("After the meeting, carlos garcia invested in stellar labs.", "en",
@@ -34,33 +35,145 @@ GOLD = [
       ("nova media", "acquired", "iron foods")], True),
     ("Global dynamics is a logistics company.", "en",
      [("global dynamics", "is a", "logistics company")], True),
-    ("The plant works at capacity today.", "en", [], False),  # FP trap
-    ("Silver motors was founded by elena novak.", "en",
-     [("elena novak", "founded", "silver motors")], False),  # passive
     ("Omar haddad founded summit biotech in zurich.", "en",
      [("omar haddad", "founded", "summit biotech")], True),
     ("Copper materials supplies golden foods.", "en",
      [("copper materials", "supplies", "golden foods")], True),
-    ("Priya sharma, who runs vertex analytics, invested in quantum networks.",
-     "en",
-     [("priya sharma", "invested in", "quantum networks")], False),  # clause trap
-    ("王伟在天河科技工作。", "zh", [("王伟", "works at", "天河科技")], True),
-    ("蓝海集团与星辰软件合作。", "zh",
-     [("蓝海集团", "partnered with", "星辰软件")], False),  # no zh pattern
     ("James smith works at the united nations.", "en",
      [("james smith", "works at", "united nations")], True),  # det-initial obj
-    ("Nova media acquired 51 percent of atlas telecom.", "en",
-     [("nova media", "acquired", "atlas telecom")], False),  # quantity trap
     ("Fatima khan partnered with david cohen.", "en",
      [("fatima khan", "partnered with", "david cohen")], True),
     ("Atlas marine is located in oslo.", "en",
      [("atlas marine", "located in", "oslo")], True),  # copula before rel
     ("Golden software has acquired marine logistics.", "en",
      [("golden software", "acquired", "marine logistics")], True),  # aux
+    ("Acme corp officially merged with apex holdings.", "en",
+     [("acme corp", "merged with", "apex holdings")], True),  # adv skipped
+    ("Northern grid supplies power to crimson energy.", "en",
+     [("northern grid", "supplies", "power")], True),
+    ("Amara okafor founded two companies in nairobi.", "en",
+     [("amara okafor", "founded", "two companies")], True),
+    ("Carlos garcia works at blue energy and teaches at night.", "en",
+     [("carlos garcia", "works at", "blue energy")], True),
+    # --- tier 2: open V -----------------------------------------------
+    ("Acme robotics employs james smith.", "en",
+     [("acme robotics", "employs", "james smith")], True),
+    ("Wei chen leads the research division.", "en",
+     [("wei chen", "leads", "research division")], True),
+    ("Nova media launched a streaming service.", "en",
+     [("nova media", "launched", "streaming service")], True),
+    ("Prime industries manufactures solar panels.", "en",
+     [("prime industries", "manufactures", "solar panels")], True),
+    ("Crimson energy owns northern grid.", "en",
+     [("crimson energy", "owns", "northern grid")], True),
+    ("Sofia rossi joined apex holdings in january.", "en",
+     [("sofia rossi", "joined", "apex holdings")], True),
+    ("Liam murphy teaches data engineering at vertex institute.", "en",
+     [("liam murphy", "teaches", "data engineering")], True),
+    ("Zara diallo announced a partnership with blue energy.", "en",
+     [("zara diallo", "announced", "partnership")], True),
+    ("Mei lin runs the tokyo office.", "en",
+     [("mei lin", "runs", "tokyo office")], True),
+    ("Quantum networks provides cloud services to atlas telecom.", "en",
+     [("quantum networks", "provides", "cloud services")], True),
+    ("Yuki tanaka oversees operations in osaka.", "en",
+     [("yuki tanaka", "oversees", "operations")], True),
+    ("The team celebrated the launch in berlin.", "en",
+     [("team", "celebrated", "launch")], True),
+    ("Digital systems developed a payment platform with stellar labs.", "en",
+     [("digital systems", "developed", "payment platform")], True),
+    ("David cohen wrote a book about logistics.", "en",
+     [("david cohen", "wrote", "book")], True),  # irregular past
+    ("Prime industries sponsors the city marathon.", "en",
+     [("prime industries", "sponsors", "city marathon")], True),
+    ("Blue energy signed a contract with atlas marine.", "en",
+     [("blue energy", "signed", "contract")], True),
+    ("Sofia rossi manages the berlin office of crimson energy.", "en",
+     [("sofia rossi", "manages", "berlin office")], True),
+    # --- tier 2: open V P / V W* P ------------------------------------
+    ("Vertex analytics opened in dublin.", "en",
+     [("vertex analytics", "opened in", "dublin")], True),
+    ("Summit biotech is based in zurich.", "en",
+     [("summit biotech", "based in", "zurich")], True),
+    ("Atlas telecom operates in mumbai.", "en",
+     [("atlas telecom", "operates in", "mumbai")], True),
+    ("Omar haddad graduated from summit university.", "en",
+     [("omar haddad", "graduated from", "summit university")], True),
+    ("Elena novak serves as chief executive of silver motors.", "en",
+     [("elena novak", "serves as", "chief executive")], True),
+    ("Ivan petrov retired from northern logistics.", "en",
+     [("ivan petrov", "retired from", "northern logistics")], True),
+    ("Felix fischer writes about supply chains.", "en",
+     [("felix fischer", "writes about", "supply chains")], True),
+    ("Pacific aviation expanded into southeast asia.", "en",
+     [("pacific aviation", "expanded into", "southeast asia")], True),
+    ("Noah berg invested heavily in iron foods.", "en",
+     [("noah berg", "invested heavily in", "iron foods")], True),  # V W* P
+    ("Blue energy expanded recently into asia.", "en",
+     [("blue energy", "expanded recently into", "asia")], True),  # V W* P
+    ("Fatima khan spoke at the annual summit.", "en",
+     [("fatima khan", "spoke at", "annual summit")], True),
+    ("The results were published in the journal.", "en",
+     [("results", "published in", "journal")], True),  # passive locative
+    # --- tier 2: passive agent (BE + V-ed + by → active triple) --------
+    ("Silver motors was founded by elena novak.", "en",
+     [("elena novak", "founded", "silver motors")], True),
+    ("Marine logistics was acquired by golden software.", "en",
+     [("golden software", "acquired", "marine logistics")], True),
+    ("The app was developed by quantum networks.", "en",
+     [("quantum networks", "developed", "app")], True),
+    ("David cohen was hired by stellar labs.", "en",
+     [("stellar labs", "hired", "david cohen")], True),
+    ("The startup was acquired by global dynamics.", "en",
+     [("global dynamics", "acquired", "startup")], True),
+    ("The merger was approved by the board.", "en",
+     [("board", "approved", "merger")], True),
+    ("The conference was hosted by summit biotech.", "en",
+     [("summit biotech", "hosted", "conference")], True),
+    ("Elena novak was appointed by the board.", "en",
+     [("board", "appointed", "elena novak")], True),
+    ("Iron foods was renamed by the new owners.", "en",
+     [("new owners", "renamed", "iron foods")], True),
+    # --- relative-clause subject span ----------------------------------
+    ("Priya sharma, who runs vertex analytics, invested in quantum networks.",
+     "en",
+     [("priya sharma", "invested in", "quantum networks")], True),
+    # --- open-domain prose (noun-verb disambiguation) -------------------
+    ("The market report shows strong demand.", "en",
+     [("market report", "shows", "strong demand")], True),
+    ("The works of shakespeare inspire students.", "en", [], True),  # noun "works"
+    # --- adversarial: traps and structural misses -----------------------
+    ("The plant works at capacity today.", "en", [], False),  # FP trap
+    ("Nova media acquired 51 percent of atlas telecom.", "en",
+     [("nova media", "acquired", "atlas telecom")], False),  # quantity trap
+    ("The annual works council met in berlin.", "en",
+     [("annual works council", "met in", "berlin")], False),  # noun-verb FP trap
+    ("Vertex analytics plans to acquire stellar labs.", "en",
+     [("vertex analytics", "plans to acquire", "stellar labs")],
+     False),  # infinitival relation — structurally missed
+    ("Global dynamics is the parent company of apex holdings.", "en",
+     [("global dynamics", "is the parent company of", "apex holdings")],
+     False),  # nominal relation — structurally missed
+    ("Acme robotics acquired iron foods and golden software.", "en",
+     [("acme robotics", "acquired", "iron foods"),
+      ("acme robotics", "acquired", "golden software")],
+     False),  # coordinated object: second conjunct missed
+    # --- Chinese ---------------------------------------------------------
+    ("王伟在天河科技工作。", "zh", [("王伟", "works at", "天河科技")], True),
     ("昨天王伟在天河科技工作。", "zh",
      [("王伟", "works at", "天河科技")], True),  # temporal prefix stripped
     ("南山资本的张强投资了华光能源。", "zh",
      [("张强", "invested in", "华光能源")], True),  # possessive 的 stripped
+    ("蓝海集团与星辰软件合作。", "zh",
+     [("蓝海集团", "partnered with", "星辰软件")], True),
+    ("天河科技和北斗物流合作。", "zh",
+     [("天河科技", "partnered with", "北斗物流")], True),
+    ("星辰软件被蓝海集团收购。", "zh",
+     [("蓝海集团", "acquired", "星辰软件")], True),  # 被-passive swapped
+    ("华光能源投资了北斗物流。", "zh",
+     [("华光能源", "invested in", "北斗物流")], True),
+    ("李娜加入了天河科技。", "zh",
+     [("李娜", "works at", "天河科技")], False),  # 加入 unpatterned — miss
 ]
 
 
@@ -78,7 +191,11 @@ def _run():
     return got_all, gold_all, gold_clean, got_on_clean
 
 
-def test_clean_inlexicon_recall_is_total():
+def test_gold_set_is_large_enough():
+    assert len(GOLD) >= 60
+
+
+def test_clean_inpattern_recall_is_total():
     _got, _gold, gold_clean, got_on_clean = _run()
     missed = gold_clean - got_on_clean
     assert not missed, f"missed clean gold triples: {sorted(missed)}"
@@ -95,21 +212,48 @@ def test_honest_overall_precision_and_recall():
         f"(tp={tp}, emitted={len(got)}, gold={len(gold)})"
     )
     assert precision >= 0.85, f"precision {precision:.3f}"
-    assert recall >= 0.70, f"recall {recall:.3f}"
+    assert recall >= 0.90, f"recall {recall:.3f}"
+
+
+def test_round2_limitations_promoted():
+    """The three round-2 pinned limitations are now handled (VERDICT.md
+    next-round item 1/6): out-of-lexicon verbs, passive voice, the
+    clause-boundary subject trap, and the zh 合作 pattern."""
+    assert extract_triples("Acme robotics employs james smith.", "en")[0][:3] == (
+        "acme robotics", "employs", "james smith",
+    )
+    assert extract_triples(
+        "Silver motors was founded by elena novak.", "en"
+    )[0][:3] == ("elena novak", "founded", "silver motors")
+    assert extract_triples(
+        "Priya sharma, who runs vertex analytics, invested in quantum networks.",
+        "en",
+    )[0][:3] == ("priya sharma", "invested in", "quantum networks")
+    assert extract_triples("蓝海集团与星辰软件合作。", "zh")[0][:3] == (
+        "蓝海集团", "partnered with", "星辰软件",
+    )
 
 
 def test_known_limitations_are_pinned():
-    """Adversarial behaviors stay visible: if one starts passing, move it
-    to the clean set instead of silently relying on it."""
-    # closed lexicon: out-of-vocabulary relation not extracted
-    assert extract_triples("Acme robotics employs james smith.", "en") == []
-    # passive voice not handled
-    assert extract_triples("Silver motors was founded by elena novak.", "en") == []
-    # clause-boundary comma blocks the subject span
+    """Remaining structural misses stay visible: if one starts passing,
+    move it to the clean set instead of silently relying on it."""
+    # infinitival relation chains are not composed (V TO V is not in the
+    # pattern class; "plan" is excluded as a noun-dominant homograph)
+    assert (
+        extract_triples("Vertex analytics plans to acquire stellar labs.", "en")
+        == []
+    )
+    # nominal relations (copula + NP + of) are not extracted
     assert (
         extract_triples(
-            "Priya sharma, who runs vertex analytics, invested in quantum networks.",
-            "en",
+            "Global dynamics is the parent company of apex holdings.", "en"
         )
         == []
     )
+    # coordinated objects: only the first conjunct is captured
+    got = extract_triples(
+        "Acme robotics acquired iron foods and golden software.", "en"
+    )
+    assert [t[:3] for t in got] == [("acme robotics", "acquired", "iron foods")]
+    # zh: verbs outside ZH_REL_PATTERNS (加入) are not extracted
+    assert extract_triples("李娜加入了天河科技。", "zh") == []
