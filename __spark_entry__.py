@@ -186,13 +186,12 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan_mentions): alias occurrences in every normalized sentence, linked
     to canonical ids via the broadcast alias map; top-20 entities by
     mention count. Oracle: expected parquet from the shared pure matcher."""
+    from kgforge.linking.guard import collect_bounded
     from kgforge.stages.docstream import scan_mentions_docstream
     from kgforge.stages.link import alias_resolution
 
     alias_df = _fixture_alias(spark, sf_dir)
-    aliases = sorted(
-        r["alias"] for r in alias_df.select("alias").distinct().collect()
-    )
+    aliases = collect_bounded(alias_df, "alias", what="gazetteer alias dictionary")
     hits = scan_mentions_docstream(_fixture_webdocs(spark, sf_dir), aliases)
     amap = alias_resolution(alias_df)
     linked = hits.join(
@@ -232,13 +231,12 @@ def _kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence edges: canonical entities co-mentioned in one
     sentence (gazetteer scan → alias map → within-sentence pairs); top-20
     pairs by count. Oracle: expected parquet from the shared matcher."""
+    from kgforge.linking.guard import collect_bounded
     from kgforge.stages.docstream import scan_mentions_docstream
     from kgforge.stages.link import alias_resolution
 
     alias_df = _fixture_alias(spark, sf_dir)
-    aliases = sorted(
-        r["alias"] for r in alias_df.select("alias").distinct().collect()
-    )
+    aliases = collect_bounded(alias_df, "alias", what="gazetteer alias dictionary")
     hits = scan_mentions_docstream(_fixture_webdocs(spark, sf_dir), aliases)
     amap = alias_resolution(alias_df)
     ents = (

@@ -79,7 +79,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # bound doc_id < 500 for oracle cost; these run the same plans over the
     # FULL documents table and report candidate counts, demonstrating the
     # hot-shingle DF cap keeps candidates ~linear in corpus size.
-    from kgforge.queries import minhash_lsh_candidates_agg, ngram_jaccard_pairs_agg
+    from kgforge.queries import (
+        minhash_lsh_candidates_agg,
+        near_dup_clusters_from_pairs,
+        ngram_jaccard_pairs_agg,
+        ngram_jaccard_verified_pairs,
+    )
 
     docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs_tbl = docs_full.count()
@@ -89,11 +94,29 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     t0 = time.perf_counter()
     mh_row = minhash_lsh_candidates_agg(docs_full).collect()[0]
     timings["minhash_lsh_unbounded"] = round(time.perf_counter() - t0, 3)
-    total += timings["ngram_jaccard_unbounded"] + timings["minhash_lsh_unbounded"]
+    # cluster formation + survivor selection over the verified pairs —
+    # the full dedup operation (pairs → CC → survivors) at corpus scale
+    t0 = time.perf_counter()
+    cl_row = (
+        near_dup_clusters_from_pairs(ngram_jaccard_verified_pairs(docs_full))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.coalesce(F.sum("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+        .collect()[0]
+    )
+    timings["near_dup_clusters_unbounded"] = round(time.perf_counter() - t0, 3)
+    total += (
+        timings["ngram_jaccard_unbounded"]
+        + timings["minhash_lsh_unbounded"]
+        + timings["near_dup_clusters_unbounded"]
+    )
     unbounded = {
         "documents_rows": n_docs_tbl,
         "jaccard_pairs": jac_row["n_pairs"],
         "minhash_candidate_pairs": mh_row["n_candidate_pairs"],
+        "near_dup_clusters": cl_row["n_clusters"],
+        "near_dup_removed": int(cl_row["n_removed"]),
     }
 
     # KG document stream over parquet input
@@ -121,9 +144,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
     # gazetteer mention scan over the same corpus (kg_mentions core path,
     # fused: one python stage like the docstream)
+    from kgforge.linking.guard import collect_bounded
     from kgforge.stages.docstream import scan_mentions_docstream
 
-    aliases = sorted(r["alias"] for r in alias_df.select("alias").distinct().collect())
+    aliases = collect_bounded(alias_df, "alias", what="gazetteer alias dictionary")
     t0 = time.perf_counter()
     n_mentions = scan_mentions_docstream(webdocs, aliases).count()
     timings["kg_mention_scan"] = round(time.perf_counter() - t0, 3)

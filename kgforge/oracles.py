@@ -335,6 +335,55 @@ SELECT count(*) AS n_pairs,
 FROM jac WHERE jaccard >= 0.6
 """
 
+ORACLES["near_dup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), ranked AS (
+  SELECT sh.doc_id, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY dfreq.df, sh.shingle) AS rn,
+         sizes.sz - ((3 * sizes.sz + 4) // 5) + 1 AS prefix_len
+  FROM sh JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)
+), prefix AS (
+  SELECT doc_id, shingle FROM ranked WHERE rn <= prefix_len
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM prefix a JOIN prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT d1, d2, count(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = d1
+  JOIN sh sb ON sb.doc_id = d2 AND sb.shingle = sa.shingle
+  GROUP BY d1, d2
+), pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.6
+), nodes AS (
+  SELECT d1 AS node FROM pairs UNION SELECT d2 FROM pairs
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+), reach(node, x) AS (
+  -- transitive closure + min label = connected components (tiny pair set
+  -- at oracle scale; the Spark side runs kgforge.graph.cc)
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.x = e.a
+), comp AS (
+  SELECT node, min(x) AS comp FROM reach GROUP BY node
+), cl AS (
+  SELECT comp AS survivor, count(*) AS n_members FROM comp GROUP BY comp
+)
+SELECT survivor, n_members, n_members - 1 AS n_removed
+FROM cl ORDER BY n_members DESC, survivor ASC LIMIT 20
+"""
+
 ORACLES["minhash_lsh_candidates"] = f"""
 WITH {_SHINGLES_CTE},
 sigparts AS (

@@ -192,8 +192,9 @@ def link_fuzzy(
     from typing import Iterator
 
     from kgforge.linking.fuzzy import build_alias_matrix, fuzzy_link_batch
+    from kgforge.linking.guard import collect_bounded
 
-    raw = [r["alias"] for r in alias_df.select("alias").distinct().collect()]
+    raw = collect_bounded(alias_df, "alias", what="fuzzy-link alias dictionary")
     surfaces, mat = build_alias_matrix(raw)
     unmatched = mentions_df.join(
         alias_df.select("alias"),
