@@ -292,6 +292,44 @@ def _kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_day_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared temporal-edge builder: canonical edges + UTC day column."""
+    from kgforge.stages.canonicalize import edges_with_day, rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+
+    alias_df = _fixture_alias(spark, sf_dir)
+    mention_map = alias_resolution(alias_df).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    return edges_with_day(
+        rewrite_triples(extract_docstream(_fixture_webdocs(spark, sf_dir)), mention_map)
+    )
+
+
+def _kg_degree_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph analytics: entity degree per (day, node) over the
+    day-partitioned edge table (graph.temporal.degree_over_time), top-30.
+    Oracle: expected parquet twin."""
+    from kgforge.graph.temporal import degree_over_time
+
+    return degree_over_time(_kg_day_edges(spark, sf_dir))
+
+
+def _kg_window_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window subgraph: edges materialized PARTITIONED BY day, read
+    back with the window predicate as a partition filter (scan cost ∝
+    window, not table — plan-asserted in tests/test_temporal.py), top-20
+    edge counts in the window. Oracle: expected parquet twin."""
+    import tempfile
+
+    from kgforge.graph.temporal import materialize_edges_by_day, window_subgraph_topk
+
+    path = tempfile.mkdtemp(prefix="kgforge_edges_by_day_")
+    materialize_edges_by_day(_kg_day_edges(spark, sf_dir), path)
+    return window_subgraph_topk(spark, path)
+
+
 def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via the fake
     decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
@@ -331,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_media_meta": _kg_media_meta,
             "kg_token_tag_corpus": _kg_token_tag_corpus,
             "kg_pagerank_topk": _kg_pagerank_topk,
+            "kg_degree_over_time": _kg_degree_over_time,
+            "kg_window_subgraph": _kg_window_subgraph,
         }
     )
     return out

@@ -82,5 +82,12 @@ def salted_join(
 
 def edges_with_day(edges_df: DataFrame) -> DataFrame:
     """Add the ``day`` partition column (Iceberg's days(warc_ts) transform,
-    emulated for partitioned Parquet)."""
-    return edges_df.withColumn("day", F.date_format("warc_ts", "yyyy-MM-dd"))
+    emulated for partitioned Parquet). The UTC day is derived from the
+    epoch-seconds cast, NOT ``date_format`` — that renders in the session
+    timezone, so the partition value (and any downstream window predicate)
+    would silently shift on a cluster configured to a non-UTC zone."""
+    day_ix = F.floor(F.col("warc_ts").cast("long") / F.lit(86400)).cast("int")
+    return edges_df.withColumn(
+        "day",
+        F.date_add(F.to_date(F.lit("1970-01-01")), day_ix).cast("string"),
+    )
