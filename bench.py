@@ -37,6 +37,7 @@ HEADLINE = [
     "sessionize",
     "tumbling_window_counts",
     "text_quality",
+    "repetition_bigrams",
     "multimodal_meta",
 ]
 

@@ -229,6 +229,29 @@ SELECT lang, source,
 FROM stats GROUP BY lang, source
 """
 
+ORACLES["repetition_bigrams"] = """
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT source,
+         len(toks) - 1 AS n_bg,
+         len(list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])))
+           AS n_uniq
+  FROM t WHERE len(toks) >= 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_bg) AS BIGINT) AS sum_bigrams,
+       round((sum(n_bg) - sum(n_uniq)) * 1.0 / sum(n_bg), 6) AS dup_ratio,
+       CAST(sum(CASE WHEN (n_bg - n_uniq) * 5 > n_bg THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM b GROUP BY source
+"""
+
 ORACLES["langid_heuristic"] = """
 WITH g AS (
   SELECT lang,

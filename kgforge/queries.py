@@ -285,6 +285,45 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate word-bigram fraction per
+    doc (dup = 1 - distinct/total bigrams), aggregated per source with a
+    dup_fraction > 0.2 flag. All JVM higher-order functions (zip_with over
+    two slices builds the bigram array in-row — no explode, no shuffle
+    before the final per-source agg); per-doc values stay INTEGER
+    (n_bigrams, n_distinct, flag as 5·dup > total) so the engines agree
+    bit-exactly and the only float op is the final rounded division of two
+    exact int64 sums. NULL text filtered identically on both sides
+    (round-2 advisor lesson on NULL-vs-ELSE divergence)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    d = docs.select("source", toks.alias("toks")).where(F.size("toks") >= 2)
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+        F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_doc = d.select(
+        "source",
+        F.size(bigrams).alias("n_bg"),
+        F.size(F.array_distinct(bigrams)).alias("n_uniq"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bg").alias("sum_bigrams"),
+        F.round(
+            (F.sum("n_bg") - F.sum("n_uniq")) / F.sum("n_bg"), 6
+        ).alias("dup_ratio"),
+        F.sum(
+            F.when((F.col("n_bg") - F.col("n_uniq")) * 5 > F.col("n_bg"), 1).otherwise(
+                0
+            )
+        ).alias("n_flagged"),
+    )
+
+
 def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-free language-ID heuristic (ASCII + stopword evidence) scored
     against the labeled lang column."""
@@ -1167,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_stats": q_quality_filter_stats,
     "mask_chain": q_mask_chain,
     "text_quality": q_text_quality,
+    "repetition_bigrams": q_repetition_bigrams,
     "langid_heuristic": q_langid_heuristic,
     "token_count_bpeish": q_token_count_bpeish,
     "doc_fingerprint": q_doc_fingerprint,

@@ -88,6 +88,24 @@ def main() -> int:
         "split → matcher mapInPandas) — zero shuffles; dictionary ships in "
         "the closure.",
     )
+    import tempfile
+
+    from kgforge.graph.temporal import materialize_edges_by_day, window_subgraph_topk
+    from kgforge.stages.canonicalize import edges_with_day
+
+    edges_path = os.path.join(
+        tempfile.mkdtemp(prefix="kgforge_plans_"), "edges_by_day"
+    )
+    materialize_edges_by_day(
+        edges_with_day(rewrite_triples(extract_docstream(docs), mmap)), edges_path
+    )
+    dump(
+        "kg_window_subgraph (day-partitioned read, pruned)",
+        window_subgraph_topk(spark, edges_path),
+        "The day window is a PartitionFilter on the scan — out-of-window "
+        "day directories are never opened (scan cost ∝ window, asserted in "
+        "tests/test_temporal.py).",
+    )
     print("\n".join(out))
     spark.stop()
     return 0
