@@ -330,6 +330,20 @@ def _kg_window_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_subgraph_topk(spark, path)
 
 
+def _kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-window edge diff: top-20 edges asserted in the second 15-day
+    crawl window but absent from the first — both reads partition-pruned
+    (graph.temporal.window_edge_diff_topk). Oracle: expected parquet
+    twin."""
+    import tempfile
+
+    from kgforge.graph.temporal import materialize_edges_by_day, window_edge_diff_topk
+
+    path = tempfile.mkdtemp(prefix="kgforge_edges_by_day_")
+    materialize_edges_by_day(_kg_day_edges(spark, sf_dir), path)
+    return window_edge_diff_topk(spark, path)
+
+
 def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via the fake
     decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
@@ -371,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kg_pagerank_topk": _kg_pagerank_topk,
             "kg_degree_over_time": _kg_degree_over_time,
             "kg_window_subgraph": _kg_window_subgraph,
+            "kg_edge_diff": _kg_edge_diff,
         }
     )
     return out

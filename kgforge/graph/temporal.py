@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 # contract-query window: 15 of the fixture's 90 crawl days (FIXTURES.md)
 WINDOW_LO = "2025-01-10"
 WINDOW_HI = "2025-01-24"
+# the next 15-day window, for the cross-window diff
+WINDOW_B_LO = "2025-01-25"
+WINDOW_B_HI = "2025-02-08"
 
 
 def degree_over_time(edges_day_df: DataFrame, k: int = 30) -> DataFrame:
@@ -70,6 +73,38 @@ def materialize_edges_by_day(
         stage=stage,
         partition_by=["day"],
         collect_lineage=False,
+    )
+
+
+def window_edge_diff_topk(
+    spark: SparkSession,
+    path: str,
+    a_lo: str = WINDOW_LO,
+    a_hi: str = WINDOW_HI,
+    b_lo: str = WINDOW_B_LO,
+    b_hi: str = WINDOW_B_HI,
+    k: int = 20,
+) -> DataFrame:
+    """Cross-window diff — "what did this crawl window assert that the
+    previous one didn't": top-k (subj_id, pred, obj_id) by count in window
+    B among edges absent from window A. Both reads hit the day-partitioned
+    table with the window as a partition filter, so at crawl scale the
+    diff touches two windows' worth of files, never the full table. The
+    anti join shuffles only the two windows' distinct edge sets (AQE picks
+    broadcast when window A's distinct set is small)."""
+    edges = spark.read.parquet(path)
+    in_b = edges.where((F.col("day") >= b_lo) & (F.col("day") <= b_hi))
+    seen_a = (
+        edges.where((F.col("day") >= a_lo) & (F.col("day") <= a_hi))
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    return (
+        in_b.join(seen_a, ["subj_id", "pred", "obj_id"], "left_anti")
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("subj_id"), F.asc("pred"), F.asc("obj_id"))
+        .limit(k)
     )
 
 

@@ -149,6 +149,54 @@ def test_window_subgraph_matches_twin(spark, day_edges, tmp_path):
     assert got == want
 
 
+def test_window_edge_diff_matches_twin(spark, day_edges, tmp_path):
+    from kgforge.fixtures.expected import (
+        _alias_map,
+        _edge_rows_with_day,
+        _normalized_docs,
+        _triples,
+        _window_edge_diff,
+    )
+    from kgforge.fixtures.gen import gen_alias_rows, gen_webdocs_rows
+    from kgforge.graph.temporal import (
+        WINDOW_B_HI,
+        WINDOW_B_LO,
+        WINDOW_HI,
+        WINDOW_LO,
+        materialize_edges_by_day,
+        window_edge_diff_topk,
+    )
+
+    path = str(tmp_path / "edges_by_day")
+    materialize_edges_by_day(day_edges, path)
+    result = window_edge_diff_topk(spark, path)
+    # both scans must carry the day window as a partition filter
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [isnotnull(day") >= 2
+
+    got = [tuple(r) for r in result.collect()]
+    n_docs = 300
+    norm = _normalized_docs(n_docs)
+    trips = _triples(norm)
+    amap = _alias_map(list(gen_alias_rows(n_docs)))
+    url_day = {
+        row["url"]: row["warc_ts"].strftime("%Y-%m-%d")
+        for row in gen_webdocs_rows(n_docs)
+    }
+    want = [
+        (r["subj_id"], r["pred"], r["obj_id"], r["n"])
+        for r in _window_edge_diff(
+            _edge_rows_with_day(trips, amap, url_day),
+            WINDOW_LO,
+            WINDOW_HI,
+            WINDOW_B_LO,
+            WINDOW_B_HI,
+        )
+    ]
+    assert got == want
+    assert len(got) > 0, "fixture must produce window-B-only edges"
+
+
 def test_materialize_is_resume_idempotent(spark, day_edges, tmp_path):
     """A committed edges-by-day table is not rewritten (manifest resume)."""
     path = str(tmp_path / "edges_by_day")
