@@ -145,6 +145,16 @@ _REL_ADVERBS = {
 
 _BE = {"is", "was", "are", "were", "been", "being", "be"}
 
+# negators in the aux/adverb gap left of a relation head flip its polarity
+# — a negated assertion must NOT become a KG edge ("acme corp never
+# acquired iron foods"). Contracted forms appear as-is (apostrophes are
+# not edge punctuation).
+_NEGATORS = {
+    "not", "never", "no", "neither", "nor", "cannot", "can't", "didn't",
+    "doesn't", "don't", "won't", "wasn't", "weren't", "isn't", "aren't",
+    "hasn't", "haven't", "hadn't", "couldn't", "wouldn't",
+}
+
 # appositive / relative clause between commas (", who runs vertex
 # analytics,") — stripped before matching so the subject span can reach
 # across it (the round-2 clause-boundary trap)
@@ -173,10 +183,13 @@ _ZH_ENT = r"([一-鿿]{2,8})"
 ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "在" + _ZH_ENT + "工作"), "works at", False),
     (re.compile(_ZH_ENT + "被" + _ZH_ENT + "收购"), "acquired", True),
+    (re.compile(_ZH_ENT + "被" + _ZH_ENT + "聘用"), "hired", True),
+    (re.compile(_ZH_ENT + "被" + _ZH_ENT + "投资"), "invested in", True),
     (re.compile(_ZH_ENT + "收购了?" + _ZH_ENT), "acquired", False),
     (re.compile(_ZH_ENT + "位于" + _ZH_ENT), "located in", False),
     (re.compile(_ZH_ENT + "投资了?" + _ZH_ENT), "invested in", False),
     (re.compile(_ZH_ENT + "成立于" + _ZH_ENT), "founded", False),
+    (re.compile(_ZH_ENT + "成立了" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "合作"), "partnered with", False),
 ]
 
@@ -255,6 +268,12 @@ def _strip_zh_prefixes(span: str) -> str:
         tail = span.rsplit("的", 1)[1]
         if len(tail) >= 2:
             span = tail
+    # locative infix: "李娜在上海成立了…" greedily captures "李娜在上海" —
+    # the subject is the head before the 在-phrase
+    if "在" in span:
+        head = span.split("在", 1)[0]
+        if len(head) >= 2:
+            span = head
     changed = True
     while changed and len(span) > 2:
         changed = False
@@ -264,6 +283,11 @@ def _strip_zh_prefixes(span: str) -> str:
                 changed = True
                 break
     return span
+
+
+# negation markers: a subject span ending in one of these means the
+# relation is negated ("云帆传媒没有收购…") — no edge
+_ZH_NEGATORS = ("没有", "从未", "并未", "不曾", "未曾", "没", "未", "不")
 
 
 def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
@@ -276,12 +300,50 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
     triples: list[tuple[str, str, str, float]] = []
     for rx, pred, swap in ZH_REL_PATTERNS:
         for m in rx.finditer(body):
+            if m.group(1).endswith(_ZH_NEGATORS):
+                continue  # negated assertion — no edge
             subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
             if swap:  # 被-passive: group(1) is the patient, group(2) the agent
                 subj, obj = obj, _strip_zh_prefixes(m.group(1))
             if subj and obj and subj != obj:
                 triples.append((subj, pred, obj, 0.8))
     return triples
+
+
+def _negated(pairs: list[tuple[str, bool]], start_ix: int) -> bool:
+    """True when a negator occupies the aux/adverb gap immediately left of
+    a relation head (walk from ``start_ix`` leftward through skippable
+    auxiliaries/adverbs; a clause boundary ends the gap)."""
+    j = start_ix
+    while j >= 0:
+        tok, trailing_punct = pairs[j]
+        if tok in _NEGATORS:
+            return True
+        if (tok in _AUX or tok in _REL_ADVERBS) and not trailing_punct:
+            j -= 1
+            continue
+        return False
+    return False
+
+
+# comma-bounded verb-free segment = appositive (", ceo of silver motors,")
+# — strippable so the subject span reaches across it; a segment containing
+# any verb form is a clause and is kept
+_APPOSITIVE = re.compile(r",[^,]{1,60},")
+
+
+def _strip_appositives(sentence: str) -> str:
+    def repl(m: re.Match) -> str:
+        toks = [_clean_token(t) for t in m.group(0).strip(", ").split()]
+        if (
+            0 < len(toks) <= 6
+            and toks[0] not in {"and", "or", "but"}
+            and not any(t in _VERB_FORMS or t in _BE for t in toks)
+        ):
+            return " "
+        return m.group(0)
+
+    return _APPOSITIVE.sub(repl, sentence)
 
 
 def _is_participle(tok: str) -> bool:
@@ -318,7 +380,7 @@ def extract_triples(
     Chinese: bounded regex patterns (``ZH_REL_PATTERNS``)."""
     if lang == "zh":
         return extract_triples_zh(sentence)
-    raw = _REL_CLAUSE.sub(" ", sentence).split()
+    raw = _strip_appositives(_REL_CLAUSE.sub(" ", sentence)).split()
     tokens = [_clean_token(t) for t in raw]
     boundary = [t != t.rstrip(_EDGE_PUNCT) for t in raw]  # trailing punct
     pairs = list(zip(tokens, boundary))
@@ -339,7 +401,7 @@ def extract_triples(
         ):
             subj_tokens = _trim_obj(pairs[i + 2 :])  # the agent, after "by"
             obj_tokens = _trim_subj(pairs[:i])  # the patient (aux skipped)
-            if subj_tokens and obj_tokens:
+            if subj_tokens and obj_tokens and not _negated(pairs, i - 2):
                 triples.append(
                     (
                         " ".join(subj_tokens),
@@ -361,7 +423,7 @@ def extract_triples(
             k = len(match)
             subj_tokens = _trim_subj(pairs[:i])
             obj_tokens = _trim_obj(pairs[i + k :])
-            if subj_tokens and obj_tokens:
+            if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 conf = round(
                     0.5
                     + 0.25 * min(1.0, len(subj_tokens) / 2)
@@ -389,7 +451,7 @@ def extract_triples(
                     rel_end = j
             subj_tokens = _trim_subj(pairs[:i])
             obj_tokens = _trim_obj(pairs[rel_end + 1 :])
-            if subj_tokens and obj_tokens:
+            if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 triples.append(
                     (
                         " ".join(subj_tokens),

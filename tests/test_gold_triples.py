@@ -142,6 +142,44 @@ GOLD = [
     ("The market report shows strong demand.", "en",
      [("market report", "shows", "strong demand")], True),
     ("The works of shakespeare inspire students.", "en", [], True),  # noun "works"
+    # --- round 3 additions: passive, V P, irregulars --------------------
+    ("Helga strom was promoted by the board.", "en",
+     [("board", "promoted", "helga strom")], True),
+    ("Ravi patel donated equipment to vertex institute.", "en",
+     [("ravi patel", "donated", "equipment")], True),
+    ("Lucia mendez specializes in marine insurance.", "en",
+     [("lucia mendez", "specializes in", "marine insurance")], True),
+    ("Tom baker moved to london.", "en",
+     [("tom baker", "moved to", "london")], True),
+    ("The factory was built by prime industries.", "en",
+     [("prime industries", "built", "factory")], True),  # irregular participle
+    ("Hana kim won the innovation award.", "en",
+     [("hana kim", "won", "innovation award")], True),  # irregular past
+    ("Grace chen flew to singapore.", "en",
+     [("grace chen", "flew to", "singapore")], True),
+    ("The report was written by felix fischer.", "en",
+     [("felix fischer", "written", "report")], True),  # surface-form rel
+    ("Apex holdings operates across europe.", "en",
+     [("apex holdings", "operates across", "europe")], True),
+    ("Acme robotics is expanding into latin america.", "en",
+     [("acme robotics", "expanding into", "latin america")], True),  # progressive
+    ("Mateo silva hosted a workshop on robotics.", "en",
+     [("mateo silva", "hosted", "workshop")], True),
+    ("Vertex institute hired three engineers from oslo.", "en",
+     [("vertex institute", "hired", "three engineers")], True),
+    ("Stellar labs earns revenue from licensing.", "en",
+     [("stellar labs", "earns", "revenue")], True),
+    ("Ingrid larsen supervises the quality team.", "en",
+     [("ingrid larsen", "supervises", "quality team")], True),
+    ("The bridge was designed by atlas marine.", "en",
+     [("atlas marine", "designed", "bridge")], True),
+    ("Kofi mensah exports cocoa to european markets.", "en",
+     [("kofi mensah", "exports", "cocoa")], True),
+    # --- round 3: appositive subject span + negation polarity -----------
+    ("Elena novak, ceo of silver motors, visited osaka.", "en",
+     [("elena novak", "visited", "osaka")], True),  # appositive stripped
+    ("Acme corp never acquired iron foods.", "en", [], True),  # negated
+    ("The firm did not merge with apex holdings.", "en", [], True),  # negated
     # --- adversarial: traps and structural misses -----------------------
     ("The plant works at capacity today.", "en", [], False),  # FP trap
     ("Nova media acquired 51 percent of atlas telecom.", "en",
@@ -158,6 +196,13 @@ GOLD = [
      [("acme robotics", "acquired", "iron foods"),
       ("acme robotics", "acquired", "golden software")],
      False),  # coordinated object: second conjunct missed
+    ("Acme corp and nova media partnered with blue energy.", "en",
+     [("acme corp", "partnered with", "blue energy"),
+      ("nova media", "partnered with", "blue energy")],
+     False),  # coordinated subject: first conjunct missed
+    ("The acquisition of iron foods boosted revenue.", "en",
+     [("acquisition", "boosted", "revenue")],
+     False),  # out-of-dictionary verb — structurally missed
     # --- Chinese ---------------------------------------------------------
     ("王伟在天河科技工作。", "zh", [("王伟", "works at", "天河科技")], True),
     ("昨天王伟在天河科技工作。", "zh",
@@ -174,6 +219,17 @@ GOLD = [
      [("华光能源", "invested in", "北斗物流")], True),
     ("李娜加入了天河科技。", "zh",
      [("李娜", "works at", "天河科技")], False),  # 加入 unpatterned — miss
+    # --- round 3 zh additions -------------------------------------------
+    ("张强被南山资本聘用。", "zh",
+     [("南山资本", "hired", "张强")], True),  # 被-passive hire
+    ("北斗物流被华光能源投资。", "zh",
+     [("华光能源", "invested in", "北斗物流")], True),  # 被-passive invest
+    ("李娜在上海成立了云帆传媒。", "zh",
+     [("李娜", "founded", "云帆传媒")], True),  # 成立了 + locative infix
+    ("华光能源位于深圳。", "zh",
+     [("华光能源", "located in", "深圳")], True),
+    ("云帆传媒没有收购北斗物流。", "zh",
+     [], True),  # zh negation (没有) guarded — no edge
 ]
 
 
