@@ -211,45 +211,113 @@ def _clean_token(tok: str) -> str:
     return tok.strip(_EDGE_PUNCT).lower()
 
 
-def _trim_subj(pairs: list[tuple[str, bool]]) -> list[str]:
-    """Scan right-to-left from the relation: skip relation-adjacent
+def _trim_subj(
+    pairs: list[tuple[str, bool]], hi: int
+) -> tuple[list[str], int]:
+    """Scan right-to-left from ``hi`` (exclusive): skip relation-adjacent
     auxiliaries and adverbs, then stop at stopwords, empties, or a clause
     boundary (a token carrying trailing punctuation belongs to the
-    previous clause and is excluded)."""
+    previous clause and is excluded). Returns (span tokens, absolute index
+    of the span's first token)."""
     out: list[str] = []
     started = False
-    for tok, trailing_punct in reversed(pairs):
+    start = hi
+    j = hi - 1
+    while j >= 0:
+        tok, trailing_punct = pairs[j]
         if (
             not started
             and (tok in _AUX or tok in _REL_ADVERBS)
             and not trailing_punct
         ):
-            continue  # "X is located in", "X has acquired", "X officially merged"
+            j -= 1  # "X is located in", "X has acquired", "X officially merged"
+            continue
         started = True
         if tok in _STOPWORDS or not tok or trailing_punct:
             break
         out.append(tok)
+        start = j
         if len(out) >= MAX_ARG_TOKENS:
             break
-    return list(reversed(out))
+        j -= 1
+    return list(reversed(out)), start
 
 
-def _trim_obj(pairs: list[tuple[str, bool]]) -> list[str]:
-    """Scan left-to-right from the relation: skip leading determiners,
-    then stop at stopwords/empties; a token with trailing punctuation
-    closes the span (inclusive)."""
+def _trim_obj(
+    pairs: list[tuple[str, bool]], lo: int
+) -> tuple[list[str], int, int | None]:
+    """Scan left-to-right from ``lo``: skip leading determiners, then stop
+    at stopwords/empties; a token with trailing punctuation closes the
+    span (inclusive). Returns (span tokens, absolute index of the span's
+    last token, index of the stopword that ended the span or None)."""
     out: list[str] = []
     started = False
-    for tok, trailing_punct in pairs:
+    end = lo - 1
+    stopped_at: int | None = None
+    j = lo
+    n = len(pairs)
+    while j < n:
+        tok, trailing_punct = pairs[j]
         if not started and tok in _DETS and not trailing_punct:
-            continue  # "works at the united nations"
+            j += 1  # "works at the united nations"
+            continue
         started = True
         if tok in _STOPWORDS or not tok:
+            stopped_at = j
             break
         out.append(tok)
+        end = j
         if trailing_punct or len(out) >= MAX_ARG_TOKENS:
             break
-    return out
+        j += 1
+    return out, end, stopped_at
+
+
+def _coord_subject(pairs: list[tuple[str, bool]], start_ix: int) -> str | None:
+    """First conjunct of a coordinated subject ("ACME CORP and nova media
+    partnered …"): the span left of an immediately-preceding "and", only
+    when it is verb-free AND opens its clause (sentence start or preceded
+    by punctuation) — otherwise the "conjunct" is the object of an earlier
+    relation ("works at blue energy and nova media acquired …"), not a
+    co-subject."""
+    j = start_ix - 1
+    while j > 0 and pairs[j][0] in _DETS and not pairs[j][1]:
+        j -= 1  # "the factory and THE warehouse were built …"
+    if j <= 0:
+        return None
+    tok, trailing_punct = pairs[j]
+    if tok != "and" or trailing_punct:
+        return None
+    span, s2 = _trim_subj(pairs, j)
+    if not span or any(t in _VERB_FORMS or t in _BE for t in span):
+        return None
+    k = s2 - 1
+    while k >= 0 and pairs[k][0] in _DETS and not pairs[k][1]:
+        k -= 1  # a clause-initial determiner still opens the clause
+    if k >= 0 and not pairs[k][1]:
+        return None
+    return " ".join(span)
+
+
+def _coord_object(pairs: list[tuple[str, bool]], stopped_at: int | None) -> str | None:
+    """Second conjunct of a coordinated object ("acquired iron foods and
+    GOLDEN SOFTWARE."): the span right of the "and" that ended the object,
+    only when it is verb-free AND closes its clause (trailing punctuation
+    or sentence end) — otherwise the "conjunct" is the subject of a
+    following clause ("works at blue energy and nova media acquired …")."""
+    if stopped_at is None:
+        return None
+    tok, trailing_punct = pairs[stopped_at]
+    if tok != "and" or trailing_punct:
+        return None
+    span, end, _stop2 = _trim_obj(pairs, stopped_at + 1)
+    if (
+        not span
+        or any(t in _VERB_FORMS or t in _BE for t in span)
+        or (not pairs[end][1] and end != len(pairs) - 1)
+    ):
+        return None
+    return " ".join(span)
 
 
 # zh function-word prefixes a greedy CJK subject span can absorb (temporal
@@ -399,17 +467,20 @@ def extract_triples(
             and tokens[i + 1] == "by"
             and not boundary[i + 1]
         ):
-            subj_tokens = _trim_obj(pairs[i + 2 :])  # the agent, after "by"
-            obj_tokens = _trim_subj(pairs[:i])  # the patient (aux skipped)
+            subj_tokens, _send, s_stop = _trim_obj(pairs, i + 2)  # agent, after "by"
+            obj_tokens, o_start = _trim_subj(pairs, i)  # patient (aux skipped)
             if subj_tokens and obj_tokens and not _negated(pairs, i - 2):
-                triples.append(
-                    (
-                        " ".join(subj_tokens),
-                        tok,
-                        " ".join(obj_tokens),
-                        _open_conf(subj_tokens, obj_tokens),
-                    )
-                )
+                subj = " ".join(subj_tokens)
+                obj = " ".join(obj_tokens)
+                conf = _open_conf(subj_tokens, obj_tokens)
+                triples.append((subj, tok, obj, conf))
+                # coordination: "A and B were acquired by C" / "… by C and D"
+                co_patient = _coord_subject(pairs, o_start)
+                if co_patient:
+                    triples.append((subj, tok, co_patient, conf))
+                co_agent = _coord_object(pairs, s_stop)
+                if co_agent:
+                    triples.append((co_agent, tok, obj, conf))
                 i += 2
                 continue
         # tier 1 — closed lexicon, longest match
@@ -421,8 +492,8 @@ def extract_triples(
                     match = rel
         if match is not None:
             k = len(match)
-            subj_tokens = _trim_subj(pairs[:i])
-            obj_tokens = _trim_obj(pairs[i + k :])
+            subj_tokens, s_start = _trim_subj(pairs, i)
+            obj_tokens, _oend, o_stop = _trim_obj(pairs, i + k)
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 conf = round(
                     0.5
@@ -430,14 +501,16 @@ def extract_triples(
                     + 0.25 * min(1.0, len(obj_tokens) / 2),
                     4,
                 )
-                triples.append(
-                    (
-                        " ".join(subj_tokens),
-                        " ".join(match),
-                        " ".join(obj_tokens),
-                        conf,
-                    )
-                )
+                subj = " ".join(subj_tokens)
+                obj = " ".join(obj_tokens)
+                pred = " ".join(match)
+                triples.append((subj, pred, obj, conf))
+                co_subj = _coord_subject(pairs, s_start)
+                if co_subj:
+                    triples.append((co_subj, pred, obj, conf))
+                co_obj = _coord_object(pairs, o_stop)
+                if co_obj:
+                    triples.append((subj, pred, co_obj, conf))
             i += k
             continue
         # tier 2b — open pattern: V | V P | V ADV* P
@@ -449,17 +522,20 @@ def extract_triples(
                     j += 1
                 if j < n and tokens[j] in _REL_PREPS:
                     rel_end = j
-            subj_tokens = _trim_subj(pairs[:i])
-            obj_tokens = _trim_obj(pairs[rel_end + 1 :])
+            subj_tokens, s_start = _trim_subj(pairs, i)
+            obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
-                triples.append(
-                    (
-                        " ".join(subj_tokens),
-                        " ".join(tokens[i : rel_end + 1]),
-                        " ".join(obj_tokens),
-                        _open_conf(subj_tokens, obj_tokens),
-                    )
-                )
+                subj = " ".join(subj_tokens)
+                obj = " ".join(obj_tokens)
+                pred = " ".join(tokens[i : rel_end + 1])
+                conf = _open_conf(subj_tokens, obj_tokens)
+                triples.append((subj, pred, obj, conf))
+                co_subj = _coord_subject(pairs, s_start)
+                if co_subj:
+                    triples.append((co_subj, pred, obj, conf))
+                co_obj = _coord_object(pairs, o_stop)
+                if co_obj:
+                    triples.append((subj, pred, co_obj, conf))
             i = rel_end + 1
             continue
         i += 1

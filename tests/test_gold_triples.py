@@ -195,11 +195,11 @@ GOLD = [
     ("Acme robotics acquired iron foods and golden software.", "en",
      [("acme robotics", "acquired", "iron foods"),
       ("acme robotics", "acquired", "golden software")],
-     False),  # coordinated object: second conjunct missed
+     True),  # coordinated object (round-3 coordination)
     ("Acme corp and nova media partnered with blue energy.", "en",
      [("acme corp", "partnered with", "blue energy"),
       ("nova media", "partnered with", "blue energy")],
-     False),  # coordinated subject: first conjunct missed
+     True),  # coordinated subject (round-3 coordination)
     ("The acquisition of iron foods boosted revenue.", "en",
      [("acquisition", "boosted", "revenue")],
      False),  # out-of-dictionary verb — structurally missed
@@ -306,10 +306,58 @@ def test_known_limitations_are_pinned():
         )
         == []
     )
-    # coordinated objects: only the first conjunct is captured
+    # comma-list objects: the appositive stripper removes the verb-free
+    # MIDDLE conjunct before coordination sees it — first and last are
+    # captured, the middle is a pinned miss
     got = extract_triples(
-        "Acme robotics acquired iron foods and golden software.", "en"
+        "Nova media acquired iron foods, golden software, and apex holdings.",
+        "en",
     )
-    assert [t[:3] for t in got] == [("acme robotics", "acquired", "iron foods")]
+    assert [t[:3] for t in got] == [
+        ("nova media", "acquired", "iron foods"),
+        ("nova media", "acquired", "apex holdings"),
+    ]
     # zh: verbs outside ZH_REL_PATTERNS (加入) are not extracted
     assert extract_triples("李娜加入了天河科技。", "zh") == []
+
+
+def test_round3_coordination_promoted():
+    """Round-2/3 pinned coordination misses are now handled (two-conjunct
+    subject and object coordination with clause-boundary guards): if these
+    regress the gold-set recall gate would also trip, but pin them
+    explicitly."""
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme robotics acquired iron foods and golden software.", "en"
+        )
+    ] == [
+        ("acme robotics", "acquired", "iron foods"),
+        ("acme robotics", "acquired", "golden software"),
+    ]
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp and nova media partnered with blue energy.", "en"
+        )
+    ] == [
+        ("nova media", "partnered with", "blue energy"),
+        ("acme corp", "partnered with", "blue energy"),
+    ]
+    # the clause-boundary guards: neither sentence may cross-coordinate
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Wei chen works at blue energy and nova media acquired iron foods.",
+            "en",
+        )
+    ] == [
+        ("wei chen", "works at", "blue energy"),
+        ("nova media", "acquired", "iron foods"),
+    ]
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Carlos garcia works at blue energy and teaches at night.", "en"
+        )
+    ] == [("carlos garcia", "works at", "blue energy")]
