@@ -299,25 +299,55 @@ def _coord_subject(pairs: list[tuple[str, bool]], start_ix: int) -> str | None:
     return " ".join(span)
 
 
-def _coord_object(pairs: list[tuple[str, bool]], stopped_at: int | None) -> str | None:
-    """Second conjunct of a coordinated object ("acquired iron foods and
-    GOLDEN SOFTWARE."): the span right of the "and" that ended the object,
-    only when it is verb-free AND closes its clause (trailing punctuation
-    or sentence end) — otherwise the "conjunct" is the subject of a
-    following clause ("works at blue energy and nova media acquired …")."""
-    if stopped_at is None:
-        return None
-    tok, trailing_punct = pairs[stopped_at]
-    if tok != "and" or trailing_punct:
-        return None
-    span, end, _stop2 = _trim_obj(pairs, stopped_at + 1)
-    if (
-        not span
-        or any(t in _VERB_FORMS or t in _BE for t in span)
-        or (not pairs[end][1] and end != len(pairs) - 1)
-    ):
-        return None
-    return " ".join(span)
+def _coord_objects(
+    pairs: list[tuple[str, bool]],
+    raw: list[str],
+    end: int,
+    stopped_at: int | None,
+) -> list[str]:
+    """Additional object conjuncts.
+
+    Form 1 — "acquired iron foods and GOLDEN SOFTWARE.": the span right of
+    the "and" that ended the object, only when it is verb-free AND closes
+    its clause (trailing punctuation or sentence end) — otherwise the
+    "conjunct" is the subject of a following clause ("works at blue energy
+    and nova media acquired …").
+
+    Form 2 — Oxford list "acquired A, B, and C.": comma-terminated
+    verb-free items, committed ONLY when the list closes with an and-item
+    that closes the clause (a bare "acquired A, B." stays un-coordinated:
+    it is indistinguishable from an appositive rename)."""
+    if stopped_at is not None:
+        tok, trailing_punct = pairs[stopped_at]
+        if tok == "and" and not trailing_punct:
+            span, e2, _stop2 = _trim_obj(pairs, stopped_at + 1)
+            if (
+                span
+                and not any(t in _VERB_FORMS or t in _BE for t in span)
+                and (pairs[e2][1] or e2 == len(pairs) - 1)
+            ):
+                return [" ".join(span)]
+        return []
+    items: list[str] = []
+    j = end
+    for _ in range(8):  # bounded list length
+        if j < 0 or j >= len(pairs) or not raw[j].endswith(","):
+            return []
+        nxt = j + 1
+        is_final = nxt < len(pairs) and pairs[nxt][0] == "and" and not pairs[nxt][1]
+        if is_final:
+            nxt += 1
+        span, e2, _stop2 = _trim_obj(pairs, nxt)
+        if not span or any(t in _VERB_FORMS or t in _BE for t in span):
+            return []
+        if is_final:
+            if pairs[e2][1] or e2 == len(pairs) - 1:
+                items.append(" ".join(span))
+                return items
+            return []
+        items.append(" ".join(span))
+        j = e2
+    return []
 
 
 # zh function-word prefixes a greedy CJK subject span can absorb (temporal
@@ -396,8 +426,10 @@ def _negated(pairs: list[tuple[str, bool]], start_ix: int) -> bool:
 
 # comma-bounded verb-free segment = appositive (", ceo of silver motors,")
 # — strippable so the subject span reaches across it; a segment containing
-# any verb form is a clause and is kept
-_APPOSITIVE = re.compile(r",[^,]{1,60},")
+# any verb form is a clause and is kept. The lookahead keeps Oxford-list
+# items intact (", golden software," in "A, B, and C" is a conjunct for
+# _coord_objects, not an appositive).
+_APPOSITIVE = re.compile(r",[^,]{1,60},(?!\s*and\b)")
 
 
 def _strip_appositives(sentence: str) -> str:
@@ -478,8 +510,7 @@ def extract_triples(
                 co_patient = _coord_subject(pairs, o_start)
                 if co_patient:
                     triples.append((subj, tok, co_patient, conf))
-                co_agent = _coord_object(pairs, s_stop)
-                if co_agent:
+                for co_agent in _coord_objects(pairs, raw, _send, s_stop):
                     triples.append((co_agent, tok, obj, conf))
                 i += 2
                 continue
@@ -508,8 +539,7 @@ def extract_triples(
                 co_subj = _coord_subject(pairs, s_start)
                 if co_subj:
                     triples.append((co_subj, pred, obj, conf))
-                co_obj = _coord_object(pairs, o_stop)
-                if co_obj:
+                for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
             i += k
             continue
@@ -533,8 +563,7 @@ def extract_triples(
                 co_subj = _coord_subject(pairs, s_start)
                 if co_subj:
                     triples.append((co_subj, pred, obj, conf))
-                co_obj = _coord_object(pairs, o_stop)
-                if co_obj:
+                for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
             i = rel_end + 1
             continue

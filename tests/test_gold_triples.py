@@ -200,6 +200,12 @@ GOLD = [
      [("acme corp", "partnered with", "blue energy"),
       ("nova media", "partnered with", "blue energy")],
      True),  # coordinated subject (round-3 coordination)
+    ("Prime industries manufactures solar panels, wind turbines, and battery packs.",
+     "en",
+     [("prime industries", "manufactures", "solar panels"),
+      ("prime industries", "manufactures", "wind turbines"),
+      ("prime industries", "manufactures", "battery packs")],
+     True),  # Oxford-list object (round-3 coordination)
     ("The acquisition of iron foods boosted revenue.", "en",
      [("acquisition", "boosted", "revenue")],
      False),  # out-of-dictionary verb — structurally missed
@@ -306,17 +312,15 @@ def test_known_limitations_are_pinned():
         )
         == []
     )
-    # comma-list objects: the appositive stripper removes the verb-free
-    # MIDDLE conjunct before coordination sees it — first and last are
-    # captured, the middle is a pinned miss
-    got = extract_triples(
-        "Nova media acquired iron foods, golden software, and apex holdings.",
-        "en",
-    )
-    assert [t[:3] for t in got] == [
-        ("nova media", "acquired", "iron foods"),
-        ("nova media", "acquired", "apex holdings"),
-    ]
+    # a bare two-item comma pair without "and" stays un-coordinated: it is
+    # indistinguishable from an appositive rename, so only the head is
+    # extracted (conservative by design)
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods, golden software.", "en"
+        )
+    ] == [("acme corp", "acquired", "iron foods")]
     # zh: verbs outside ZH_REL_PATTERNS (加入) are not extracted
     assert extract_triples("李娜加入了天河科技。", "zh") == []
 
@@ -344,6 +348,25 @@ def test_round3_coordination_promoted():
         ("nova media", "partnered with", "blue energy"),
         ("acme corp", "partnered with", "blue energy"),
     ]
+    # Oxford-list objects: every conjunct captured, appositive kept intact
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Nova media acquired iron foods, golden software, and apex holdings.",
+            "en",
+        )
+    ] == [
+        ("nova media", "acquired", "iron foods"),
+        ("nova media", "acquired", "golden software"),
+        ("nova media", "acquired", "apex holdings"),
+    ]
+    # appositive rename after the object is NOT a conjunct
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods, a subsidiary of apex holdings.", "en"
+        )
+    ] == [("acme corp", "acquired", "iron foods")]
     # the clause-boundary guards: neither sentence may cross-coordinate
     assert [
         t[:3]
