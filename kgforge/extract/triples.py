@@ -273,30 +273,69 @@ def _trim_obj(
     return out, end, stopped_at
 
 
-def _coord_subject(pairs: list[tuple[str, bool]], start_ix: int) -> str | None:
-    """First conjunct of a coordinated subject ("ACME CORP and nova media
-    partnered …"): the span left of an immediately-preceding "and", only
-    when it is verb-free AND opens its clause (sentence start or preceded
-    by punctuation) — otherwise the "conjunct" is the object of an earlier
-    relation ("works at blue energy and nova media acquired …"), not a
-    co-subject."""
+def _subject_list_items(
+    pairs: list[tuple[str, bool]], raw: list[str], e: int
+) -> list[str]:
+    """Comma-terminated subject-list items walking LEFT from the item
+    whose last token sits at ``e`` (``raw[e]`` ends with ","). Committed
+    ONLY when the walk reaches sentence start — a list preceded by
+    anything else ("after the meeting, A, B, and C …") cannot be confirmed
+    as pure subject coordination and is rejected wholesale."""
+    items: list[str] = []
+    for _ in range(8):  # bounded list length
+        item = [pairs[e][0]]
+        k = e - 1
+        while k >= 0 and len(item) < MAX_ARG_TOKENS:
+            tok, trailing_punct = pairs[k]
+            if tok in _STOPWORDS or not tok or trailing_punct:
+                break
+            item.append(tok)
+            k -= 1
+        if not item[0] or any(t in _VERB_FORMS or t in _BE for t in item):
+            return []
+        items.append(" ".join(reversed(item)))
+        if k < 0:
+            return list(reversed(items))
+        if raw[k].endswith(","):
+            e = k
+            continue
+        return []
+    return []
+
+
+def _coord_subjects(
+    pairs: list[tuple[str, bool]], raw: list[str], start_ix: int
+) -> list[str]:
+    """Additional subject conjuncts left of an immediately-preceding
+    "and": the single-conjunct form ("ACME CORP and nova media partnered
+    …") or the Oxford list ("A, B, and C founded …"). A conjunct must be
+    verb-free AND the coordination must open its clause (sentence start
+    or, for the single form, preceded by punctuation) — otherwise the
+    "conjunct" is the object of an earlier relation ("works at blue
+    energy and nova media acquired …"), not a co-subject."""
     j = start_ix - 1
     while j > 0 and pairs[j][0] in _DETS and not pairs[j][1]:
         j -= 1  # "the factory and THE warehouse were built …"
     if j <= 0:
-        return None
+        return []
     tok, trailing_punct = pairs[j]
     if tok != "and" or trailing_punct:
-        return None
+        return []
     span, s2 = _trim_subj(pairs, j)
-    if not span or any(t in _VERB_FORMS or t in _BE for t in span):
-        return None
-    k = s2 - 1
-    while k >= 0 and pairs[k][0] in _DETS and not pairs[k][1]:
-        k -= 1  # a clause-initial determiner still opens the clause
-    if k >= 0 and not pairs[k][1]:
-        return None
-    return " ".join(span)
+    if span:
+        if any(t in _VERB_FORMS or t in _BE for t in span):
+            return []
+        k = s2 - 1
+        while k >= 0 and pairs[k][0] in _DETS and not pairs[k][1]:
+            k -= 1  # a clause-initial determiner still opens the clause
+        if k < 0 or pairs[k][1]:
+            return [" ".join(span)]
+        return []
+    # empty span = the token before "and" carries punctuation; an Oxford
+    # subject list if it is specifically a comma
+    if j >= 1 and raw[j - 1].endswith(","):
+        return _subject_list_items(pairs, raw, j - 1)
+    return []
 
 
 def _coord_objects(
@@ -507,8 +546,7 @@ def extract_triples(
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, tok, obj, conf))
                 # coordination: "A and B were acquired by C" / "… by C and D"
-                co_patient = _coord_subject(pairs, o_start)
-                if co_patient:
+                for co_patient in _coord_subjects(pairs, raw, o_start):
                     triples.append((subj, tok, co_patient, conf))
                 for co_agent in _coord_objects(pairs, raw, _send, s_stop):
                     triples.append((co_agent, tok, obj, conf))
@@ -536,8 +574,7 @@ def extract_triples(
                 obj = " ".join(obj_tokens)
                 pred = " ".join(match)
                 triples.append((subj, pred, obj, conf))
-                co_subj = _coord_subject(pairs, s_start)
-                if co_subj:
+                for co_subj in _coord_subjects(pairs, raw, s_start):
                     triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
@@ -560,8 +597,7 @@ def extract_triples(
                 pred = " ".join(tokens[i : rel_end + 1])
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, pred, obj, conf))
-                co_subj = _coord_subject(pairs, s_start)
-                if co_subj:
+                for co_subj in _coord_subjects(pairs, raw, s_start):
                     triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))

@@ -206,6 +206,18 @@ GOLD = [
       ("prime industries", "manufactures", "wind turbines"),
       ("prime industries", "manufactures", "battery packs")],
      True),  # Oxford-list object (round-3 coordination)
+    ("Maria lopez, james smith, and omar haddad founded summit biotech.", "en",
+     [("maria lopez", "founded", "summit biotech"),
+      ("james smith", "founded", "summit biotech"),
+      ("omar haddad", "founded", "summit biotech")],
+     True),  # Oxford-list subject (round-3 coordination)
+    ("After the meeting, maria lopez, james smith, and omar haddad founded summit biotech.",
+     "en",
+     [("maria lopez", "founded", "summit biotech"),
+      ("james smith", "founded", "summit biotech"),
+      ("omar haddad", "founded", "summit biotech")],
+     False),  # adverbial-led subject list: rejected wholesale by design
+               # (only the direct subject survives)
     ("The acquisition of iron foods boosted revenue.", "en",
      [("acquisition", "boosted", "revenue")],
      False),  # out-of-dictionary verb — structurally missed
@@ -360,6 +372,28 @@ def test_round3_coordination_promoted():
         ("nova media", "acquired", "golden software"),
         ("nova media", "acquired", "apex holdings"),
     ]
+    # Oxford-list subjects, committed only from sentence start
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Maria lopez, james smith, and omar haddad founded summit biotech.",
+            "en",
+        )
+    ] == [
+        ("omar haddad", "founded", "summit biotech"),
+        ("maria lopez", "founded", "summit biotech"),
+        ("james smith", "founded", "summit biotech"),
+    ]
+    # an adverbial-led list cannot be confirmed as subject coordination —
+    # rejected wholesale, only the direct subject survives
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "After the meeting, maria lopez, james smith, and omar haddad"
+            " founded summit biotech.",
+            "en",
+        )
+    ] == [("omar haddad", "founded", "summit biotech")]
     # appositive rename after the object is NOT a conjunct
     assert [
         t[:3]
