@@ -229,6 +229,17 @@ SELECT lang, source,
 FROM stats GROUP BY lang, source
 """
 
+ORACLES["top_docs_per_source"] = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS INT) AS rn
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rn FROM r WHERE rn <= 3
+"""
+
 ORACLES["repetition_bigrams"] = """
 WITH t AS (
   SELECT source,

@@ -285,6 +285,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 largest docs per source by (n_chars desc,
+    doc_id asc), via row_number over a PARTITIONED window — the scale
+    pattern for per-key leaders: one hash shuffle on source, each group
+    ranked within its partition, no global sort and no driver-side
+    collection (contrast a global Window.orderBy, which funnels the table
+    through one task). Full tiebreak makes the result deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars", "rn")
+    )
+
+
 def q_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: duplicate word-bigram fraction per
     doc (dup = 1 - distinct/total bigrams), aggregated per source with a
@@ -1207,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mask_chain": q_mask_chain,
     "text_quality": q_text_quality,
     "repetition_bigrams": q_repetition_bigrams,
+    "top_docs_per_source": q_top_docs_per_source,
     "langid_heuristic": q_langid_heuristic,
     "token_count_bpeish": q_token_count_bpeish,
     "doc_fingerprint": q_doc_fingerprint,
