@@ -197,6 +197,21 @@ def test_window_edge_diff_matches_twin(spark, day_edges, tmp_path):
     assert len(got) > 0, "fixture must produce window-B-only edges"
 
 
+def test_materialize_bounds_file_count(spark, day_edges, tmp_path):
+    """The pre-write repartition("day") bounds output files to one per day
+    directory — without it every input task writes into every day dir
+    (tasks × days small files, a metadata bomb at crawl scale)."""
+    import glob
+
+    from kgforge.graph.temporal import materialize_edges_by_day
+
+    path = str(tmp_path / "edges_by_day")
+    materialize_edges_by_day(day_edges, path)
+    day_dirs = [d for d in os.listdir(path) if d.startswith("day=")]
+    files = glob.glob(os.path.join(path, "day=*", "*.parquet"))
+    assert len(files) == len(day_dirs)
+
+
 def test_materialize_is_resume_idempotent(spark, day_edges, tmp_path):
     """A committed edges-by-day table is not rewritten (manifest resume)."""
     path = str(tmp_path / "edges_by_day")
