@@ -145,6 +145,25 @@ _REL_ADVERBS = {
 
 _BE = {"is", "was", "are", "were", "been", "being", "be"}
 
+# aspectual/control verbs opening an infinitival relation chain
+# ("X plans to acquire Y" → rel "plans to acquire" — the V TO V extension
+# of the ReVerb class). Disjoint from _VERB_FORMS on purpose: "plan" is a
+# noun-dominant homograph excluded from the open tier, but the "to V"
+# right-context disambiguates it here. Negative-control verbs (refuse,
+# decline, fail) are NEGATORS for this pattern: "refused to acquire" is
+# not an assertion.
+_ASPECTUAL = {
+    "plans", "planned", "agrees", "agreed", "decides", "decided",
+    "intends", "intended", "aims", "aimed", "wants", "wanted", "seeks",
+    "sought", "hopes", "hoped", "expects", "expected", "attempts",
+    "attempted", "promises", "promised", "prepares", "prepared",
+    "threatens", "threatened", "proposes", "proposed", "pledges",
+    "pledged", "vows", "vowed",
+}
+_ASPECTUAL_NEG = {
+    "refuses", "refused", "declines", "declined", "fails", "failed",
+}
+
 # negators in the aux/adverb gap left of a relation head flip its polarity
 # — a negated assertion must NOT become a KG edge ("acme corp never
 # acquired iron foods"). Contracted forms appear as-is (apostrophes are
@@ -552,6 +571,43 @@ def extract_triples(
                     triples.append((co_agent, tok, obj, conf))
                 i += 2
                 continue
+        # tier 2c — infinitival chain: ASPECTUAL + "to" + V [ADV* P]
+        # ("plans to acquire", "agreed to merge with"); negative-control
+        # verbs ("refused to acquire") suppress like negators
+        if (
+            (tok in _ASPECTUAL or tok in _ASPECTUAL_NEG)
+            and not boundary[i]
+            and i + 2 < n
+            and tokens[i + 1] == "to"
+            and not boundary[i + 1]
+            and tokens[i + 2] in _VERB_FORMS
+        ):
+            rel_end = i + 2
+            if not boundary[rel_end]:
+                j = rel_end + 1
+                while j < n and tokens[j] in _REL_ADVERBS and not boundary[j]:
+                    j += 1
+                if j < n and tokens[j] in _REL_PREPS:
+                    rel_end = j
+            subj_tokens, s_start = _trim_subj(pairs, i)
+            obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+            if (
+                subj_tokens
+                and obj_tokens
+                and tok not in _ASPECTUAL_NEG
+                and not _negated(pairs, i - 1)
+            ):
+                subj = " ".join(subj_tokens)
+                obj = " ".join(obj_tokens)
+                pred = " ".join(tokens[i : rel_end + 1])
+                conf = _open_conf(subj_tokens, obj_tokens)
+                triples.append((subj, pred, obj, conf))
+                for co_subj in _coord_subjects(pairs, raw, s_start):
+                    triples.append((co_subj, pred, obj, conf))
+                for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
+                    triples.append((subj, pred, co_obj, conf))
+            i = rel_end + 1
+            continue
         # tier 1 — closed lexicon, longest match
         match: tuple[str, ...] | None = None
         for rel in REL_LEXICON:

@@ -188,7 +188,15 @@ GOLD = [
      [("annual works council", "met in", "berlin")], False),  # noun-verb FP trap
     ("Vertex analytics plans to acquire stellar labs.", "en",
      [("vertex analytics", "plans to acquire", "stellar labs")],
-     False),  # infinitival relation — structurally missed
+     True),  # infinitival chain (round-3 tier 2c: ASPECTUAL + to + V)
+    ("The firm agreed to merge with apex holdings.", "en",
+     [("firm", "agreed to merge with", "apex holdings")], True),
+    ("Zara diallo intends to invest in quantum networks.", "en",
+     [("zara diallo", "intends to invest in", "quantum networks")], True),
+    ("Acme corp refused to acquire iron foods.", "en",
+     [], True),  # negative-control aspectual — no assertion, no edge
+    ("Nova media never planned to acquire golden software.", "en",
+     [], True),  # negated infinitival chain
     ("Global dynamics is the parent company of apex holdings.", "en",
      [("global dynamics", "is the parent company of", "apex holdings")],
      False),  # nominal relation — structurally missed
@@ -311,10 +319,10 @@ def test_round2_limitations_promoted():
 def test_known_limitations_are_pinned():
     """Remaining structural misses stay visible: if one starts passing,
     move it to the clean set instead of silently relying on it."""
-    # infinitival relation chains are not composed (V TO V is not in the
-    # pattern class; "plan" is excluded as a noun-dominant homograph)
+    # infinitival chains whose control verb is NOT in the aspectual set
+    # stay missed ("struggled" is neither a verb stem nor aspectual)
     assert (
-        extract_triples("Vertex analytics plans to acquire stellar labs.", "en")
+        extract_triples("Vertex analytics struggled to acquire stellar labs.", "en")
         == []
     )
     # nominal relations (copula + NP + of) are not extracted
