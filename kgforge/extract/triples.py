@@ -571,6 +571,52 @@ def extract_triples(
                     triples.append((co_agent, tok, obj, conf))
                 i += 2
                 continue
+        # tier 2d — nominal relation: BE + [DET] + NP{1..3} + "of"
+        # ("is the parent company of", "is a subsidiary of") — ReVerb's
+        # V W* P shape with a noun-phrase W*, admitted ONLY when anchored
+        # by the copula and closed by "of" (unanchored noun W* without POS
+        # costs too much precision). A verb form inside the NP rejects the
+        # match (that is a passive/progressive, handled by other tiers).
+        if tok in _BE and not boundary[i]:
+            j = i + 1
+            negated_np = False
+            if j < n and tokens[j] in _NEGATORS and not boundary[j]:
+                negated_np = True
+                j += 1
+            if j < n and tokens[j] in _DETS and not boundary[j]:
+                j += 1
+            np_start = j
+            while (
+                j < n
+                and j - np_start < 3
+                and tokens[j] not in _STOPWORDS
+                and tokens[j] not in _VERB_FORMS
+                and tokens[j] not in _BE
+                and tokens[j]
+                and not boundary[j]
+            ):
+                j += 1
+            if j > np_start and j < n and tokens[j] == "of":
+                rel_end = j
+                subj_tokens, s_start = _trim_subj(pairs, i)
+                obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+                if (
+                    subj_tokens
+                    and obj_tokens
+                    and not negated_np
+                    and not _negated(pairs, i - 1)
+                ):
+                    subj = " ".join(subj_tokens)
+                    obj = " ".join(obj_tokens)
+                    pred = " ".join(tokens[i : rel_end + 1])
+                    conf = _open_conf(subj_tokens, obj_tokens)
+                    triples.append((subj, pred, obj, conf))
+                    for co_subj in _coord_subjects(pairs, raw, s_start):
+                        triples.append((co_subj, pred, obj, conf))
+                    for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
+                        triples.append((subj, pred, co_obj, conf))
+                i = rel_end + 1
+                continue
         # tier 2c — infinitival chain: ASPECTUAL + "to" + V [ADV* P]
         # ("plans to acquire", "agreed to merge with"); negative-control
         # verbs ("refused to acquire") suppress like negators

@@ -199,7 +199,13 @@ GOLD = [
      [], True),  # negated infinitival chain
     ("Global dynamics is the parent company of apex holdings.", "en",
      [("global dynamics", "is the parent company of", "apex holdings")],
-     False),  # nominal relation — structurally missed
+     True),  # nominal relation (round-3 tier 2d: BE + [DET] + NP + of)
+    ("Iron foods is a subsidiary of acme corp.", "en",
+     [("iron foods", "is a subsidiary of", "acme corp")], True),
+    ("Zurich is the capital of switzerland.", "en",
+     [("zurich", "is the capital of", "switzerland")], True),
+    ("Acme corp is not the owner of iron foods.", "en",
+     [], True),  # negated nominal — no edge
     ("Acme robotics acquired iron foods and golden software.", "en",
      [("acme robotics", "acquired", "iron foods"),
       ("acme robotics", "acquired", "golden software")],
@@ -325,13 +331,12 @@ def test_known_limitations_are_pinned():
         extract_triples("Vertex analytics struggled to acquire stellar labs.", "en")
         == []
     )
-    # nominal relations (copula + NP + of) are not extracted
-    assert (
-        extract_triples(
-            "Global dynamics is the parent company of apex holdings.", "en"
-        )
-        == []
-    )
+    # nominal relations WITHOUT the of-closure stay tier-1 ("is a"):
+    # the copula-NP tier requires the "of" anchor
+    assert [
+        t[:3]
+        for t in extract_triples("Global dynamics is a logistics company.", "en")
+    ] == [("global dynamics", "is a", "logistics company")]
     # a bare two-item comma pair without "and" stays un-coordinated: it is
     # indistinguishable from an appositive rename, so only the head is
     # extracted (conservative by design)
