@@ -209,6 +209,7 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "投资了?" + _ZH_ENT), "invested in", False),
     (re.compile(_ZH_ENT + "成立于" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "成立了" + _ZH_ENT), "founded", False),
+    (re.compile(_ZH_ENT + "加入了?" + _ZH_ENT), "joined", False),
     (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "合作"), "partnered with", False),
 ]
 

@@ -250,7 +250,7 @@ GOLD = [
     ("华光能源投资了北斗物流。", "zh",
      [("华光能源", "invested in", "北斗物流")], True),
     ("李娜加入了天河科技。", "zh",
-     [("李娜", "works at", "天河科技")], False),  # 加入 unpatterned — miss
+     [("李娜", "joined", "天河科技")], True),  # 加入 (round-3 pattern)
     # --- round 3 zh additions -------------------------------------------
     ("张强被南山资本聘用。", "zh",
      [("南山资本", "hired", "张强")], True),  # 被-passive hire
@@ -346,8 +346,8 @@ def test_known_limitations_are_pinned():
             "Acme corp acquired iron foods, golden software.", "en"
         )
     ] == [("acme corp", "acquired", "iron foods")]
-    # zh: verbs outside ZH_REL_PATTERNS (加入) are not extracted
-    assert extract_triples("李娜加入了天河科技。", "zh") == []
+    # zh: verbs outside ZH_REL_PATTERNS (担任 "serves as") are not extracted
+    assert extract_triples("李娜担任天河科技总经理。", "zh") == []
 
 
 def test_round3_coordination_promoted():
