@@ -210,6 +210,11 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "成立于" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "成立了" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "加入了?" + _ZH_ENT), "joined", False),
+    # X在Y担任Z emits BOTH (X, works at, Y) via this pattern and
+    # (X, serves as, Z) via the next one (the 在-infix subject strip in
+    # _strip_zh_prefixes reduces the greedy "X在Y" capture to X)
+    (re.compile(_ZH_ENT + "在" + _ZH_ENT + "担任"), "works at", False),
+    (re.compile(_ZH_ENT + "担任" + _ZH_ENT), "serves as", False),
     (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "合作"), "partnered with", False),
 ]
 

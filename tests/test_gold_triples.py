@@ -251,6 +251,12 @@ GOLD = [
      [("华光能源", "invested in", "北斗物流")], True),
     ("李娜加入了天河科技。", "zh",
      [("李娜", "joined", "天河科技")], True),  # 加入 (round-3 pattern)
+    ("李娜担任天河科技总经理。", "zh",
+     [("李娜", "serves as", "天河科技总经理")], True),  # 担任 (round-3)
+    ("王伟在蓝海集团担任首席执行官。", "zh",
+     [("王伟", "works at", "蓝海集团"),
+      ("王伟", "serves as", "首席执行官")], True),  # 在…担任 double emit
+    ("陈静没担任星辰软件董事长。", "zh", [], True),  # negated 担任 — no edge
     # --- round 3 zh additions -------------------------------------------
     ("张强被南山资本聘用。", "zh",
      [("南山资本", "hired", "张强")], True),  # 被-passive hire
@@ -346,8 +352,8 @@ def test_known_limitations_are_pinned():
             "Acme corp acquired iron foods, golden software.", "en"
         )
     ] == [("acme corp", "acquired", "iron foods")]
-    # zh: verbs outside ZH_REL_PATTERNS (担任 "serves as") are not extracted
-    assert extract_triples("李娜担任天河科技总经理。", "zh") == []
+    # zh: verbs outside ZH_REL_PATTERNS (参观 "visited") are not extracted
+    assert extract_triples("李娜参观了天河科技。", "zh") == []
 
 
 def test_round3_coordination_promoted():
