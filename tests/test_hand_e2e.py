@@ -1,0 +1,135 @@
+"""HAND-DERIVED end-to-end gate for the KG core (extract → link → CC →
+canonical edges), independent of the shared pure modules.
+
+The advisor's round-2 note (ADVICE.md #4): the kg_* expected-parquet
+oracles import the same pure functions the Spark stages execute, so a
+semantic bug in those shared modules cannot trip the rows+schema+hash
+check. The hand-annotated gold sets cover the extractor in isolation;
+this test covers the COMPOSED pipeline: every expected row below is a
+literal constant derived by hand from the documented stage semantics
+(kgforge/stages/{extract,link,canonicalize}.py docstrings), never
+computed by kgforge code. The normalize stage is excluded on purpose —
+it is gated independently by the reference-vendored byte-identity tests
+(tests/test_textnorm_oracle.py, tests/test_spark_normalize.py).
+
+Hand derivation notes (the "why" of each expected row):
+- doc a sent 0: tier-1 lexicon      → (acme corp, acquired, iron foods)
+- doc a sent 1: tier-1 lexicon      → (maria lopez, works at, acme corporation)
+- doc b sent 0: passive normalize   → (acme corp, acquired, iron foods)
+- doc b sent 1: copula "is a"       → (silver motors, is a, carmaker)
+- doc c sent 0: zh 在…担任 double emit → (李娜, works at, 天河科技)
+                                      + (李娜, serves as, 总经理)
+- alias dict registers "acme corp" twice (E1 and E2, identical
+  (alias, canon)) → sameAs edge (E1, E2) → component id = min = E1, so
+  both "acme corp" (score tie broken by ascending entity_id → E1) and
+  "acme corporation" (E2) canonicalize to E1.
+- "carmaker" / "总经理" are not in the dictionary → deterministic
+  self-entities "M#" + md5(mention)[:12]; the hex literals below were
+  computed by hand (hashlib.md5 of the UTF-8 bytes), not by kgforge.
+"""
+
+from datetime import datetime
+
+import pytest
+
+from kgforge.stages.canonicalize import edges_with_day, rewrite_triples
+from kgforge.stages.extract import sentences, triples
+from kgforge.stages.link import alias_resolution, link_with_map, mentions
+
+TS_A = datetime(2021, 3, 1, 10, 0, 0)
+TS_B = datetime(2021, 3, 2, 9, 30, 0)
+TS_C = datetime(2021, 3, 2, 23, 59, 0)
+
+DOCS = [
+    ("https://w/a", TS_A, "en",
+     "Acme corp acquired iron foods. Maria lopez works at acme corporation."),
+    ("https://w/b", TS_B, "en",
+     "Iron foods was acquired by acme corp. Silver motors is a carmaker."),
+    ("https://w/c", TS_C, "zh", "李娜在天河科技担任总经理。"),
+]
+
+ALIASES = [
+    # (alias, entity_id, canon, prior)
+    ("acme corp", "E1", "acme corp", 1.0),
+    ("acme corp", "E2", "acme corp", 1.0),  # duplicate registration → sameAs
+    ("acme corporation", "E2", "acme corp", 0.9),
+    ("iron foods", "E3", "iron foods", 1.0),
+    ("maria lopez", "E4", "maria lopez", 1.0),
+    ("李娜", "E5", "李娜", 1.0),
+    ("天河科技", "E6", "天河科技", 1.0),
+    ("silver motors", "E7", "silver motors", 1.0),
+]
+
+M_CARMAKER = "M#191fe27c0fa9"  # md5("carmaker")[:12], computed by hand
+M_ZONGJINGLI = "M#06fca431f4ad"  # md5("总经理".encode())[:12], by hand
+
+EXPECTED_TRIPLES = {
+    ("https://w/a", 0, "acme corp", "acquired", "iron foods"),
+    ("https://w/a", 1, "maria lopez", "works at", "acme corporation"),
+    ("https://w/b", 0, "acme corp", "acquired", "iron foods"),
+    ("https://w/b", 1, "silver motors", "is a", "carmaker"),
+    ("https://w/c", 0, "李娜", "works at", "天河科技"),
+    ("https://w/c", 0, "李娜", "serves as", "总经理"),
+}
+
+EXPECTED_ENTITIES = {
+    "acme corp": "E1",
+    "acme corporation": "E1",  # via sameAs component
+    "iron foods": "E3",
+    "maria lopez": "E4",
+    "李娜": "E5",
+    "天河科技": "E6",
+    "silver motors": "E7",
+    "carmaker": M_CARMAKER,
+    "总经理": M_ZONGJINGLI,
+}
+
+EXPECTED_EDGES = [  # (subj_id, pred, obj_id, url, day) — a multiset
+    ("E1", "acquired", "E3", "https://w/a", "2021-03-01"),
+    ("E4", "works at", "E1", "https://w/a", "2021-03-01"),
+    ("E1", "acquired", "E3", "https://w/b", "2021-03-02"),
+    ("E7", "is a", M_CARMAKER, "https://w/b", "2021-03-02"),
+    ("E5", "works at", "E6", "https://w/c", "2021-03-02"),
+    ("E5", "serves as", M_ZONGJINGLI, "https://w/c", "2021-03-02"),
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(spark):
+    norm = spark.createDataFrame(
+        DOCS, "url string, warc_ts timestamp, lang string, text_norm string"
+    )
+    alias_df = spark.createDataFrame(
+        ALIASES, "alias string, entity_id string, canon string, prior double"
+    )
+    trip = triples(sentences(norm))
+    alias_map = alias_resolution(alias_df)
+    ents = link_with_map(mentions(trip), alias_map)
+    mention_map = alias_map.selectExpr("alias as mention", "canon_id")
+    edges = edges_with_day(rewrite_triples(trip, mention_map))
+    return trip.collect(), ents.collect(), edges.collect()
+
+
+def test_triples_match_hand_annotation(pipeline_outputs):
+    trip_rows, _, _ = pipeline_outputs
+    got = {(r.url, r.sent_id, r.subj, r.pred, r.obj) for r in trip_rows}
+    assert got == EXPECTED_TRIPLES
+    assert len(trip_rows) == len(EXPECTED_TRIPLES)  # no duplicate emits
+
+
+def test_linking_matches_hand_annotation(pipeline_outputs):
+    _, ent_rows, _ = pipeline_outputs
+    got = {r.mention: r.canon_id for r in ent_rows}
+    assert got == EXPECTED_ENTITIES
+    # dictionary misses carry score 0.0; hits carry a positive score
+    for r in ent_rows:
+        if r.canon_id.startswith("M#"):
+            assert r.score == 0.0
+        else:
+            assert r.score > 0.0
+
+
+def test_edges_match_hand_annotation(pipeline_outputs):
+    _, _, edge_rows = pipeline_outputs
+    got = sorted((r.subj_id, r.pred, r.obj_id, r.url, r.day) for r in edge_rows)
+    assert got == sorted(EXPECTED_EDGES)
