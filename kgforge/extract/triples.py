@@ -140,7 +140,11 @@ _REL_ADVERBS = {
     "officially", "jointly", "later", "previously", "reportedly", "once",
     "again", "then", "now", "publicly", "together", "closely", "primarily",
     "mainly", "mostly", "partly", "initially", "originally", "eventually",
-    "heavily", "directly", "largely", "significantly",
+    "heavily", "directly", "largely", "significantly", "briefly",
+    "quickly", "quietly", "successfully", "repeatedly", "gradually",
+    "steadily", "temporarily", "routinely", "regularly", "frequently",
+    "subsequently", "ultimately", "famously", "proudly", "newly",
+    "widely", "actively", "increasingly", "consistently",
 }
 
 _BE = {"is", "was", "are", "were", "been", "being", "be"}
@@ -198,7 +202,15 @@ _EDGE_PUNCT = ".,?!。，？！、"
 # must be emitted agent-first. Entity spans are bounded CJK runs so a
 # mid-sentence match can't swallow the whole text. Predicates reuse the
 # English relation labels so the canonical graph is language-uniform.
-_ZH_ENT = r"([一-鿿]{2,8})"
+# bounded CJK entity span; connector/particle chars (并 与 和 及 且 或 的
+# 了 被) are excluded so a greedy span cannot swallow a conjunction or
+# clause boundary ("蓝海集团收购了星辰软件并投资了…" must stop at 并 —
+# without the exclusion the object span absorbed "并投资了" and the
+# second verb matched a garbage subject). Entity names containing these
+# chars (e.g. 共和) are a documented precision/recall tradeoff absent a
+# word segmenter. 在/没/不 stay IN the class on purpose: the 在-infix
+# subject strip and the span-absorbed negation guard depend on them.
+_ZH_ENT = r"((?:(?![并与和及且或的了被])[一-鿿]){2,8})"
 ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "在" + _ZH_ENT + "工作"), "works at", False),
     (re.compile(_ZH_ENT + "被" + _ZH_ENT + "收购"), "acquired", True),
@@ -516,6 +528,54 @@ def _is_participle(tok: str) -> bool:
     )
 
 
+# reduced-passive appositive: ", founded by elena novak," (also clause-
+# final: ", founded by elena novak.") — a verb-bearing segment, so the
+# generic _APPOSITIVE strip correctly keeps it, but it still blocks the
+# main clause (the comma is a clause boundary for the subject trim) AND
+# carries its own relation. _extract_participial_appositives emits the
+# passive-normalized triple (agent, V-ed, head NP left of the comma) and
+# removes the segment so the main clause extracts normally.
+_PART_APPOS = re.compile(r",\s*([A-Za-z]+)\s+by\s+([^,.]+)([,.])")
+
+
+def _extract_participial_appositives(
+    sentence: str,
+) -> tuple[str, list[tuple[str, str, str, float]]]:
+    triples: list[tuple[str, str, str, float]] = []
+
+    def repl(m: re.Match) -> str:
+        part = _clean_token(m.group(1))
+        if not _is_participle(part):
+            return m.group(0)
+        prefix = sentence[: m.start()].split()
+        ppairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix]
+        head_tokens, _hstart = _trim_subj(ppairs, len(ppairs))
+        # the head NP ends at the nearest clause verb ("blue energy
+        # ACQUIRED acme corp, founded by…" → head "acme corp")
+        for k in range(len(head_tokens) - 1, -1, -1):
+            if head_tokens[k] in _VERB_FORMS or head_tokens[k] in _BE:
+                head_tokens = head_tokens[k + 1 :]
+                break
+        agent_raw = m.group(2).split()
+        apairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in agent_raw]
+        agent_tokens, _aend, _astop = _trim_obj(apairs, 0)
+        if not head_tokens or not agent_tokens:
+            return m.group(0)
+        triples.append(
+            (
+                " ".join(agent_tokens),
+                part,
+                " ".join(head_tokens),
+                _open_conf(agent_tokens, head_tokens),
+            )
+        )
+        # keep a clause-final ender so downstream boundary logic still
+        # sees the sentence close; an inner comma pair vanishes entirely
+        return m.group(3) if m.group(3) == "." else " "
+
+    return _PART_APPOS.sub(repl, sentence), triples
+
+
 def _open_conf(subj_tokens: list[str], obj_tokens: list[str]) -> float:
     return round(
         0.3
@@ -544,11 +604,11 @@ def extract_triples(
     Chinese: bounded regex patterns (``ZH_REL_PATTERNS``)."""
     if lang == "zh":
         return extract_triples_zh(sentence)
+    sentence, triples = _extract_participial_appositives(sentence)
     raw = _strip_appositives(_REL_CLAUSE.sub(" ", sentence)).split()
     tokens = [_clean_token(t) for t in raw]
     boundary = [t != t.rstrip(_EDGE_PUNCT) for t in raw]  # trailing punct
     pairs = list(zip(tokens, boundary))
-    triples: list[tuple[str, str, str, float]] = []
     i = 0
     n = len(tokens)
     while i < n:

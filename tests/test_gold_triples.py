@@ -235,6 +235,57 @@ GOLD = [
     ("The acquisition of iron foods boosted revenue.", "en",
      [("acquisition", "boosted", "revenue")],
      False),  # out-of-dictionary verb — structurally missed
+    # --- round 3 late additions: adverbs, participial appositives, -----
+    # --- negated passives/auxiliaries, PP-object coordination ----------
+    ("Global dynamics operates a warehouse in rotterdam.", "en",
+     [("global dynamics", "operates", "warehouse")], True),
+    ("Sofia rossi previously worked at nova media.", "en",
+     [("sofia rossi", "worked at", "nova media")], True),
+    ("The ceo of acme corp resigned yesterday.", "en", [], True),
+    # intransitive out-of-dictionary verb: no entity-entity edge
+    ("Acme corp has not acquired iron foods.", "en", [], True),  # aux+not
+    ("Iron foods was never acquired by acme corp.", "en", [], True),
+    # negated passive — no edge
+    ("Atlas telecom provides broadband services across rural india.", "en",
+     [("atlas telecom", "provides", "broadband services")], True),
+    ("Liam murphy and sofia rossi joined blue energy.", "en",
+     [("liam murphy", "joined", "blue energy"),
+      ("sofia rossi", "joined", "blue energy")], True),
+    ("The lab was opened by vertex institute in dublin.", "en",
+     [("vertex institute", "opened", "lab")], True),
+    ("Noah berg briefly served as chairman of atlas marine.", "en",
+     [("noah berg", "served as", "chairman")], True),  # subject-trim adverb
+    ("Acme corp, founded by elena novak, supplies golden foods.", "en",
+     [("elena novak", "founded", "acme corp"),
+      ("acme corp", "supplies", "golden foods")],
+     True),  # participial appositive: passive triple + unblocked main clause
+    ("Blue energy acquired acme corp, founded by elena novak.", "en",
+     [("blue energy", "acquired", "acme corp"),
+      ("elena novak", "founded", "acme corp")],
+     True),  # clause-final participial appositive attaches to the object
+    ("Berlin hosts the annual tech summit.", "en",
+     [("berlin", "hosts", "annual tech summit")], True),
+    ("Ivan petrov, the former cfo of apex holdings, joined crimson energy.",
+     "en", [("ivan petrov", "joined", "crimson energy")], True),
+    ("The works at the museum impressed visitors.", "en", [], True),
+    # noun "works" + out-of-dictionary "impressed": no edge
+    ("Stellar labs supplies reagents to summit biotech and vertex institute.",
+     "en", [("stellar labs", "supplies", "reagents")], True),
+    ("Summit biotech hopes to expand into asia.", "en",
+     [("summit biotech", "hopes to expand into", "asia")], True),
+    ("Golden software failed to acquire marine logistics.", "en",
+     [], True),  # negative-control aspectual
+    ("Apex holdings is a division of global dynamics.", "en",
+     [("apex holdings", "is a division of", "global dynamics")], True),
+    ("Mei lin is the founder of quantum networks.", "en",
+     [("mei lin", "is the founder of", "quantum networks")], True),
+    ("The results were not published in the journal.", "en", [], True),
+    ("Pacific aviation currently operates in jakarta and manila.", "en",
+     [("pacific aviation", "operates in", "jakarta"),
+      ("pacific aviation", "operates in", "manila")], True),  # V P coord obj
+    ("Quantum networks was founded in 2004 by mei lin.", "en",
+     [("mei lin", "founded", "quantum networks")],
+     False),  # intervening PP blocks the passive pattern — structural miss
     # --- Chinese ---------------------------------------------------------
     ("王伟在天河科技工作。", "zh", [("王伟", "works at", "天河科技")], True),
     ("昨天王伟在天河科技工作。", "zh",
@@ -268,6 +319,19 @@ GOLD = [
      [("华光能源", "located in", "深圳")], True),
     ("云帆传媒没有收购北斗物流。", "zh",
      [], True),  # zh negation (没有) guarded — no edge
+    ("王伟加入北斗物流。", "zh",
+     [("王伟", "joined", "北斗物流")], True),  # 加入 without 了
+    ("目前李娜在星辰软件工作。", "zh",
+     [("李娜", "works at", "星辰软件")], True),  # 目前 prefix stripped
+    ("星辰软件成立于2010年。", "zh", [], True),
+    # founding DATE is an attribute, not an entity edge (digits never
+    # match the CJK entity class)
+    ("蓝海集团收购了星辰软件并投资了华光能源。", "zh",
+     [("蓝海集团", "acquired", "星辰软件"),
+      ("蓝海集团", "invested in", "华光能源")],
+     False),  # 并-coordinated second verb: connector exclusion stops the
+              # garbage spans, but the second conjunct is still missed
+              # (no zh verb coordination without a segmenter)
 ]
 
 
