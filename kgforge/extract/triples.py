@@ -464,23 +464,66 @@ def _strip_zh_prefixes(span: str) -> str:
 _ZH_NEGATORS = ("没有", "从未", "并未", "不曾", "未曾", "没", "未", "不")
 
 
+# clause separators for zh coordination: the full-width comma/semicolon
+# and the conjunctions 并(且)/且. Splitting is behavior-preserving for
+# single-clause sentences: no pattern literal contains these chars and
+# the entity class excludes them, so no match could ever cross one.
+_ZH_CLAUSE_SPLIT = re.compile(r"，|；|并且|并|且")
+# object coordination: the remainder of a segment after a non-swap match
+# that is exactly 和/与/及 + one more entity ("收购了A和B")
+_ZH_OBJ_COORD = re.compile("^[和与及]" + _ZH_ENT + "$")
+
+
 def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
     """Chinese pattern extraction over a (space-free) normalized sentence.
     Each pattern may fire once per sentence position; predicates reuse the
     English relation labels so the canonical graph is language-uniform.
     Matched subject spans are stripped of leading temporal/reporting
-    function words (the greedy-CJK-span refinement from BACKLOG #4)."""
+    function words (the greedy-CJK-span refinement from BACKLOG #4).
+
+    Coordination (round 3): the body is split into clauses on ，/；/并(且)/
+    且; a clause with no subject of its own ("…收购了星辰软件，并投资了华光
+    能源") inherits the previous clause's subject — the pattern must then
+    match from position 0 with exactly that subject, so an unrelated
+    second clause can never borrow it. A trailing 和/与/及+entity after a
+    matched object ("收购了A和B") emits one additional coordinated-object
+    triple."""
     body = sentence.strip(_EDGE_PUNCT + " ")
     triples: list[tuple[str, str, str, float]] = []
-    for rx, pred, swap in ZH_REL_PATTERNS:
-        for m in rx.finditer(body):
-            if m.group(1).endswith(_ZH_NEGATORS):
-                continue  # negated assertion — no edge
-            subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
-            if swap:  # 被-passive: group(1) is the patient, group(2) the agent
-                subj, obj = obj, _strip_zh_prefixes(m.group(1))
-            if subj and obj and subj != obj:
-                triples.append((subj, pred, obj, 0.8))
+    last_subj: str | None = None
+    for seg in _ZH_CLAUSE_SPLIT.split(body):
+        seg = seg.strip(_EDGE_PUNCT + " ")
+        if not seg:
+            continue
+        matched = False
+        for rx, pred, swap in ZH_REL_PATTERNS:
+            for m in rx.finditer(seg):
+                if m.group(1).endswith(_ZH_NEGATORS):
+                    continue  # negated assertion — no edge
+                subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
+                if swap:  # 被-passive: group(1)=patient, group(2)=agent
+                    subj, obj = obj, _strip_zh_prefixes(m.group(1))
+                if subj and obj and subj != obj:
+                    triples.append((subj, pred, obj, 0.8))
+                    matched = True
+                    last_subj = subj
+                    if not swap:
+                        co = _ZH_OBJ_COORD.match(seg[m.end():])
+                        if co and co.group(1) != subj:
+                            triples.append((subj, pred, co.group(1), 0.8))
+        if not matched and last_subj:
+            for rx, pred, swap in ZH_REL_PATTERNS:
+                if swap:
+                    continue  # an elided subject is never the 被-patient
+                m = rx.match(last_subj + seg)
+                if m and _strip_zh_prefixes(m.group(1)) == last_subj:
+                    obj = m.group(2)
+                    if obj and obj != last_subj:
+                        triples.append((last_subj, pred, obj, 0.8))
+                        co = _ZH_OBJ_COORD.match((last_subj + seg)[m.end():])
+                        if co and co.group(1) != last_subj:
+                            triples.append((last_subj, pred, co.group(1), 0.8))
+                        break
     return triples
 
 
@@ -613,30 +656,46 @@ def extract_triples(
     n = len(tokens)
     while i < n:
         tok = tokens[i]
-        # tier 2a — passive agent: BE + V-ed + "by" → active-voice triple
-        if (
-            _is_participle(tok)
-            and not boundary[i]
-            and i > 0
-            and tokens[i - 1] in _BE
-            and i + 1 < n
-            and tokens[i + 1] == "by"
-            and not boundary[i + 1]
-        ):
-            subj_tokens, _send, s_stop = _trim_obj(pairs, i + 2)  # agent, after "by"
-            obj_tokens, o_start = _trim_subj(pairs, i)  # patient (aux skipped)
-            if subj_tokens and obj_tokens and not _negated(pairs, i - 2):
-                subj = " ".join(subj_tokens)
-                obj = " ".join(obj_tokens)
-                conf = _open_conf(subj_tokens, obj_tokens)
-                triples.append((subj, tok, obj, conf))
-                # coordination: "A and B were acquired by C" / "… by C and D"
-                for co_patient in _coord_subjects(pairs, raw, o_start):
-                    triples.append((subj, tok, co_patient, conf))
-                for co_agent in _coord_objects(pairs, raw, _send, s_stop):
-                    triples.append((co_agent, tok, obj, conf))
-                i += 2
-                continue
+        # tier 2a — passive agent: BE + V-ed + [short PP/adverb run] +
+        # "by" → active-voice triple ("was acquired by X", "was founded
+        # in 2004 by X"). The intervening run is capped at 4 verb-free,
+        # punctuation-free tokens and must open with a preposition or
+        # adverb — beyond that the "by" is too far to attribute safely.
+        if _is_participle(tok) and not boundary[i] and i > 0 and tokens[i - 1] in _BE:
+            by_ix = -1
+            if i + 1 < n and tokens[i + 1] == "by" and not boundary[i + 1]:
+                by_ix = i + 1
+            elif i + 1 < n and (
+                tokens[i + 1] in _REL_PREPS or tokens[i + 1] in _REL_ADVERBS
+            ):
+                j = i + 1
+                while (
+                    j < n
+                    and j - i <= 4
+                    and tokens[j] != "by"
+                    and tokens[j]
+                    and tokens[j] not in _VERB_FORMS
+                    and tokens[j] not in _BE
+                    and not boundary[j]
+                ):
+                    j += 1
+                if j < n and j - i <= 5 and tokens[j] == "by" and not boundary[j]:
+                    by_ix = j
+            if by_ix > 0:
+                subj_tokens, _send, s_stop = _trim_obj(pairs, by_ix + 1)  # agent
+                obj_tokens, o_start = _trim_subj(pairs, i)  # patient (aux skipped)
+                if subj_tokens and obj_tokens and not _negated(pairs, i - 2):
+                    subj = " ".join(subj_tokens)
+                    obj = " ".join(obj_tokens)
+                    conf = _open_conf(subj_tokens, obj_tokens)
+                    triples.append((subj, tok, obj, conf))
+                    # coordination: "A and B were acquired by C" / "… by C and D"
+                    for co_patient in _coord_subjects(pairs, raw, o_start):
+                        triples.append((subj, tok, co_patient, conf))
+                    for co_agent in _coord_objects(pairs, raw, _send, s_stop):
+                        triples.append((co_agent, tok, obj, conf))
+                    i = by_ix + 1
+                    continue
         # tier 2d — nominal relation: BE + [DET] + NP{1..3} + "of"
         # ("is the parent company of", "is a subsidiary of") — ReVerb's
         # V W* P shape with a noun-phrase W*, admitted ONLY when anchored

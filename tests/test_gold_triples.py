@@ -285,7 +285,9 @@ GOLD = [
       ("pacific aviation", "operates in", "manila")], True),  # V P coord obj
     ("Quantum networks was founded in 2004 by mei lin.", "en",
      [("mei lin", "founded", "quantum networks")],
-     False),  # intervening PP blocks the passive pattern — structural miss
+     True),  # passive with short intervening PP (round-3 extension)
+    ("The factory was built at great cost by prime industries.", "en",
+     [("prime industries", "built", "factory")], True),  # PP run before by
     # --- Chinese ---------------------------------------------------------
     ("王伟在天河科技工作。", "zh", [("王伟", "works at", "天河科技")], True),
     ("昨天王伟在天河科技工作。", "zh",
@@ -329,9 +331,22 @@ GOLD = [
     ("蓝海集团收购了星辰软件并投资了华光能源。", "zh",
      [("蓝海集团", "acquired", "星辰软件"),
       ("蓝海集团", "invested in", "华光能源")],
-     False),  # 并-coordinated second verb: connector exclusion stops the
-              # garbage spans, but the second conjunct is still missed
-              # (no zh verb coordination without a segmenter)
+     True),  # 并-coordinated second verb inherits the subject (round 3)
+    ("蓝海集团收购了星辰软件，并投资了华光能源。", "zh",
+     [("蓝海集团", "acquired", "星辰软件"),
+      ("蓝海集团", "invested in", "华光能源")], True),  # ，并 variant
+    ("蓝海集团收购了星辰软件和华光能源。", "zh",
+     [("蓝海集团", "acquired", "星辰软件"),
+      ("蓝海集团", "acquired", "华光能源")], True),  # 和-coordinated objects
+    ("华光能源位于深圳和上海。", "zh",
+     [("华光能源", "located in", "深圳"),
+      ("华光能源", "located in", "上海")], True),
+    ("李娜加入了天河科技，王伟加入了北斗物流。", "zh",
+     [("李娜", "joined", "天河科技"),
+      ("王伟", "joined", "北斗物流")], True),  # two full clauses
+    ("蓝海集团收购了星辰软件，没有投资华光能源。", "zh",
+     [("蓝海集团", "acquired", "星辰软件")], True),
+    # a negated second clause must NOT borrow the subject
 ]
 
 
