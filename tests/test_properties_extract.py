@@ -64,3 +64,51 @@ def test_split_sentences_partition(sents):
     """Sentence splitting neither drops nor merges normalized sentences."""
     text = " ".join(sents)
     assert split_sentences(text, "en") == [s for s in sents if s.strip()]
+
+
+# --- zh invariants (clause/object coordination, round 3) -------------------
+
+_ZH_CHARS = "天河科技蓝海集团星辰软件华光能源北斗物流王伟李娜张强陈静南山资本云帆传媒上海深圳"
+_ZH_VERBS = ["收购了", "投资了", "位于", "加入了", "担任", "成立了"]
+_ZH_SEPS = ["，", "；", "并", "并且", "且"]
+_ZH_ENT_ST = st.text(alphabet=_ZH_CHARS, min_size=2, max_size=6)
+
+
+@given(
+    st.lists(
+        st.tuples(_ZH_ENT_ST, st.sampled_from(_ZH_VERBS), _ZH_ENT_ST),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from(_ZH_SEPS),
+)
+@settings(max_examples=60, deadline=None)
+def test_zh_spans_never_contain_connectors(clauses, sep):
+    """No extracted zh span may contain a clause separator or connector
+    char — the round-3 entity-class exclusion plus clause splitting must
+    make garbage cross-clause spans impossible by construction."""
+    sentence = sep.join(f"{s}{v}{o}" for s, v, o in clauses) + "。"
+    for subj, _pred, obj, _conf in extract_triples(sentence, "zh"):
+        for span in (subj, obj):
+            assert span
+            assert not set("，；并且与和及或的了被") & set(span), (sentence, span)
+
+
+@given(
+    st.tuples(_ZH_ENT_ST, st.sampled_from(_ZH_VERBS), _ZH_ENT_ST),
+    st.sampled_from(["并", "，并", "并且", "，"]),
+    st.sampled_from(_ZH_VERBS),
+    _ZH_ENT_ST,
+)
+@settings(max_examples=60, deadline=None)
+def test_zh_elided_subject_inherits_only_exactly(first, sep, verb2, obj2):
+    """A subject-less second clause either inherits the FIRST clause's
+    exact subject or emits nothing — it can never manufacture a new
+    subject span."""
+    s, v, o = first
+    sentence = f"{s}{v}{o}{sep}{verb2}{obj2}。"
+    first_triples = extract_triples(f"{s}{v}{o}。", "zh")
+    emitted = extract_triples(sentence, "zh")
+    allowed_subjects = {t[0] for t in first_triples}
+    for subj, _pred, _obj, _conf in emitted[len(first_triples):]:
+        assert subj in allowed_subjects, (sentence, subj, allowed_subjects)
