@@ -90,6 +90,11 @@ _IRREGULAR_FORMS = {
     "chose", "chosen", "kept", "sent", "spent", "spoke", "spoken", "knew",
     "known", "rose", "risen", "flew", "flown", "drove", "driven",
 }
+# stative/locative participles: "BE + V-ed + PP" describes a STATE whose
+# trailing "by"-phrase is locative/manner, not an agent — excluded from
+# the PP-skipping passive variant (the adjacent "V-ed by" form remains)
+_STATIVE_PARTICIPLES = {"located", "based", "headquartered"}
+
 # irregular forms usable as passive participles (BE + form + "by")
 _IRREGULAR_PARTICIPLES = {
     "held", "sold", "bought", "built", "made", "won", "grown", "begun",
@@ -665,9 +670,14 @@ def extract_triples(
             by_ix = -1
             if i + 1 < n and tokens[i + 1] == "by" and not boundary[i + 1]:
                 by_ix = i + 1
-            elif i + 1 < n and (
-                tokens[i + 1] in _REL_PREPS or tokens[i + 1] in _REL_ADVERBS
+            elif (
+                i + 1 < n
+                and (tokens[i + 1] in _REL_PREPS or tokens[i + 1] in _REL_ADVERBS)
+                and tok not in _STATIVE_PARTICIPLES
             ):
+                # stative/locative participles take locative-"by" ("was
+                # located in oslo BY THE HARBOR") — the distant "by" is
+                # not an agent; only the adjacent form is safe for them
                 j = i + 1
                 while (
                     j < n

@@ -288,6 +288,11 @@ GOLD = [
      True),  # passive with short intervening PP (round-3 extension)
     ("The factory was built at great cost by prime industries.", "en",
      [("prime industries", "built", "factory")], True),  # PP run before by
+    ("The office was located in oslo by the harbor.", "en",
+     [("office", "located in", "oslo")], True),
+    # locative-"by" after a stative participle is NOT an agent
+    ("Summit biotech was based in zurich by design.", "en",
+     [("summit biotech", "based in", "zurich")], True),  # manner-"by"
     # --- Chinese ---------------------------------------------------------
     ("王伟在天河科技工作。", "zh", [("王伟", "works at", "天河科技")], True),
     ("昨天王伟在天河科技工作。", "zh",
