@@ -477,6 +477,11 @@ _ZH_CLAUSE_SPLIT = re.compile(r"，|；|并且|并|且")
 # object coordination: the remainder of a segment after a non-swap match
 # that is exactly 和/与/及 + one more entity ("收购了A和B")
 _ZH_OBJ_COORD = re.compile("^[和与及]" + _ZH_ENT + "$")
+# the full 3-group X在Y担任Z form, handled in one pre-pass: the generic
+# 2-group patterns garble it when a temporal prefix pushes the subject
+# past the 8-char span cap ("昨天李娜在天河科技担任…" → the X担任Y window
+# clips 昨 and yields subject "天李娜")
+_ZH_SERVE_FULL = re.compile(_ZH_ENT + "在" + _ZH_ENT + "担任" + _ZH_ENT)
 
 
 def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
@@ -501,10 +506,28 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
         if not seg:
             continue
         matched = False
+        for m in _ZH_SERVE_FULL.finditer(seg):
+            subj = _strip_zh_prefixes(m.group(1))
+            org, role = m.group(2), m.group(3)
+            if m.group(1).endswith(_ZH_NEGATORS) or org.endswith(_ZH_NEGATORS):
+                continue  # negated — assert neither edge
+            if subj and subj != org:
+                triples.append((subj, "works at", org, 0.8))
+                matched = True
+                last_subj = subj
+            if subj and subj != role:
+                triples.append((subj, "serves as", role, 0.8))
+                matched = True
+        if matched:
+            seg = _ZH_SERVE_FULL.sub("", seg)
         for rx, pred, swap in ZH_REL_PATTERNS:
             for m in rx.finditer(seg):
-                if m.group(1).endswith(_ZH_NEGATORS):
-                    continue  # negated assertion — no edge
+                if m.group(1).endswith(_ZH_NEGATORS) or m.group(2).endswith(
+                    _ZH_NEGATORS
+                ):
+                    continue  # negated assertion — no edge (either a
+                    # negated subject-side span or a mid-pattern negator
+                    # absorbed by the first span, e.g. 在Y没担任)
                 subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
                 if swap:  # 被-passive: group(1)=patient, group(2)=agent
                     subj, obj = obj, _strip_zh_prefixes(m.group(1))

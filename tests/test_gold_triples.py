@@ -293,6 +293,20 @@ GOLD = [
     # locative-"by" after a stative participle is NOT an agent
     ("Summit biotech was based in zurich by design.", "en",
      [("summit biotech", "based in", "zurich")], True),  # manner-"by"
+    ("Iron foods and golden software were acquired by acme corp.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("acme corp", "acquired", "golden software")], True),  # passive coord
+    ("The startup was acquired by global dynamics and nova media.", "en",
+     [("global dynamics", "acquired", "startup"),
+      ("nova media", "acquired", "startup")], True),  # coordinated agents
+    ("Zara diallo never intends to invest in quantum networks.", "en",
+     [], True),  # negated infinitival chain
+    ("Apex holdings is an affiliate of global dynamics.", "en",
+     [("apex holdings", "is an affiliate of", "global dynamics")], True),
+    ("Mateo silva recently graduated from summit university.", "en",
+     [("mateo silva", "graduated from", "summit university")], True),
+    ("Acme corp successfully expanded into latin america.", "en",
+     [("acme corp", "expanded into", "latin america")], True),
     # --- Chinese ---------------------------------------------------------
     ("王伟在天河科技工作。", "zh", [("王伟", "works at", "天河科技")], True),
     ("昨天王伟在天河科技工作。", "zh",
@@ -352,6 +366,18 @@ GOLD = [
     ("蓝海集团收购了星辰软件，没有投资华光能源。", "zh",
      [("蓝海集团", "acquired", "星辰软件")], True),
     # a negated second clause must NOT borrow the subject
+    ("昨天李娜在天河科技担任总经理。", "zh",
+     [("李娜", "works at", "天河科技"),
+      ("李娜", "serves as", "总经理")], True),
+    # temporal prefix + 在…担任: the 3-group pre-pass keeps the subject
+    # intact where the clipped 8-char window used to garble it (天李娜)
+    ("张强与陈静合作。", "zh",
+     [("张强", "partnered with", "陈静")], True),
+    ("星辰软件位于上海，蓝海集团位于深圳。", "zh",
+     [("星辰软件", "located in", "上海"),
+      ("蓝海集团", "located in", "深圳")], True),  # two full clauses
+    ("王伟在蓝海集团没担任总经理。", "zh", [], True),
+    # mid-pattern negator (在Y没担任) — no edge from either span
 ]
 
 
