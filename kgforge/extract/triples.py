@@ -197,6 +197,17 @@ _REL_CLAUSE = re.compile(r",\s*(?:who|whom|whose|which|that)\b[^,]*,")
 _AUX = {"is", "was", "are", "were", "be", "been", "being", "has", "had", "have"}
 _DETS = {"the", "a", "an"}
 
+# partitive/quantifier NP heads: "is one of the largest companies" is a
+# quantified description, not a relation — an NP opening with one of these
+# rejects the tier-2d nominal match (round-3 ADVICE #2). Relational heads
+# ("member", "part" used as "is part of") are deliberate keeps where noted.
+_PARTITIVES = {
+    "one", "two", "three", "four", "five", "six", "seven", "eight", "nine",
+    "ten", "some", "any", "none", "most", "all", "several", "many", "much",
+    "few", "both", "each", "either", "neither", "half", "dozens",
+    "hundreds", "thousands", "millions", "percent", "plenty", "lots",
+}
+
 _EN_SENT_SPLIT = re.compile(r"(?<=[.?!])\s+")
 _ZH_SENT_SPLIT = re.compile(r"(?<=[。？！?!])\s*")
 _EDGE_PUNCT = ".,?!。，？！、"
@@ -233,6 +244,15 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "在" + _ZH_ENT + "担任"), "works at", False),
     (re.compile(_ZH_ENT + "担任" + _ZH_ENT), "serves as", False),
     (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "合作"), "partnered with", False),
+    # round-4 recall tail (round-3 verdict next-step #3a): common report
+    # verbs outside the original pattern set, same bounded-span + negation
+    # discipline (the span-absorbed 没/未/不 guard covers 没有参观 etc.)
+    (re.compile(_ZH_ENT + "参观了?" + _ZH_ENT), "visited", False),
+    (re.compile(_ZH_ENT + "访问了?" + _ZH_ENT), "visited", False),
+    (re.compile(_ZH_ENT + "创办了?" + _ZH_ENT), "founded", False),
+    (re.compile(_ZH_ENT + "发布了?" + _ZH_ENT), "launched", False),
+    (re.compile(_ZH_ENT + "开发了?" + _ZH_ENT), "developed", False),
+    (re.compile(_ZH_ENT + "聘用了?" + _ZH_ENT), "hired", False),
 ]
 
 MAX_ARG_TOKENS = 4  # entity window either side of the relation
@@ -312,7 +332,39 @@ def _trim_obj(
         if trailing_punct or len(out) >= MAX_ARG_TOKENS:
             break
         j += 1
+    if (
+        out
+        and stopped_at is not None
+        and pairs[stopped_at][0] == "of"
+        and all(t in _PARTITIVES or t.isdigit() for t in out)
+    ):
+        # quantity-only span + "of": "acquired 51 percent OF atlas
+        # telecom" — the entity is the NP after the partitive, not the
+        # quantity (round-4 promotion of the quantity-object trap)
+        return _trim_obj(pairs, stopped_at + 1)
     return out, end, stopped_at
+
+
+# single-token comma segments that are discourse/temporal adverbials, not
+# subject conjuncts ("Yesterday, acme corp acquired …"); weekday/month
+# names cover the dateline pattern. Checked alongside _REL_ADVERBS.
+_SENT_ADVERBS = {
+    "yesterday", "today", "tomorrow", "tonight", "meanwhile", "however",
+    "moreover", "furthermore", "nevertheless", "nonetheless", "finally",
+    "additionally", "separately", "overall", "afterward", "afterwards",
+    "earlier", "likewise", "similarly", "instead", "therefore", "thus",
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+    "sunday", "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+}
+
+
+def _is_adverbial_item(item_rev: list[str]) -> bool:
+    """A single-token candidate list item that is a discourse/temporal
+    adverb is a sentence adverbial, never a subject conjunct."""
+    return len(item_rev) == 1 and (
+        item_rev[0] in _SENT_ADVERBS or item_rev[0] in _REL_ADVERBS
+    )
 
 
 def _subject_list_items(
@@ -320,9 +372,13 @@ def _subject_list_items(
 ) -> list[str]:
     """Comma-terminated subject-list items walking LEFT from the item
     whose last token sits at ``e`` (``raw[e]`` ends with ","). Committed
-    ONLY when the walk reaches sentence start — a list preceded by
-    anything else ("after the meeting, A, B, and C …") cannot be confirmed
-    as pure subject coordination and is rejected wholesale."""
+    when the walk reaches sentence start, or when it terminates in a SHORT
+    sentence-initial adverbial lead-in — "after the meeting, A, B, and C
+    …" (≤3 tokens from sentence start, opening with a function word/
+    adverb, promoted per round-3 verdict next-step #3b); a single-token
+    discourse/temporal adverb item ("yesterday,") is dropped, not treated
+    as a conjunct. Anything else ("with support from X, A, B …", where the
+    comma items may still be inside the PP) is rejected wholesale."""
     items: list[str] = []
     for _ in range(8):  # bounded list length
         item = [pairs[e][0]]
@@ -333,7 +389,19 @@ def _subject_list_items(
                 break
             item.append(tok)
             k -= 1
+        if _is_adverbial_item(item) and k < 0:
+            # sentence-initial bare adverb ("Yesterday, …") — drop it,
+            # commit whatever real conjuncts were gathered to its right
+            return list(reversed(items))
         if not item[0] or any(t in _VERB_FORMS or t in _BE for t in item):
+            return []
+        if k >= 0 and not raw[k].endswith(",") and pairs[k][0] in _STOPWORDS:
+            # the walk stopped inside a sentence-initial phrase: a short
+            # adverbial lead-in ("after the meeting,") ends the list —
+            # commit gathered conjuncts; a longer/non-initial phrase means
+            # the comma items may belong to the PP — reject wholesale
+            if e <= 2 and pairs[0][0] in _STOPWORDS and items:
+                return list(reversed(items))
             return []
         items.append(" ".join(reversed(item)))
         if k < 0:
@@ -362,6 +430,13 @@ def _coord_subjects(
         return []
     tok, trailing_punct = pairs[j]
     if tok != "and" or trailing_punct:
+        # bare comma-separated co-subjects without "and" ("Acme corp,
+        # nova media partnered with …") — promoted per round-3 verdict
+        # next-step #3b; _subject_list_items keeps all its guards
+        # (sentence-start/short-lead-in anchoring, verb-free items,
+        # adverbial-item rejection)
+        if raw[j].endswith(","):
+            return _subject_list_items(pairs, raw, j)
         return []
     span, s2 = _trim_subj(pairs, j)
     if span:
@@ -534,8 +609,16 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
                 if subj and obj and subj != obj:
                     triples.append((subj, pred, obj, 0.8))
                     matched = True
-                    last_subj = subj
-                    if not swap:
+                    if swap:
+                        # 被-passive: the matched subj is the AGENT, but a
+                        # following elided-subject clause reads at least as
+                        # naturally with the PATIENT as topic ("星辰软件被
+                        # 蓝海集团收购了，投资了…" — who invested is
+                        # ambiguous). Clear inheritance instead of guessing
+                        # (round-3 ADVICE #3).
+                        last_subj = None
+                    else:
+                        last_subj = subj
                         co = _ZH_OBJ_COORD.match(seg[m.end():])
                         if co and co.group(1) != subj:
                             triples.append((subj, pred, co.group(1), 0.8))
@@ -577,6 +660,15 @@ def _negated(pairs: list[tuple[str, bool]], start_ix: int) -> bool:
 # items intact (", golden software," in "A, B, and C" is a conjunct for
 # _coord_objects, not an appositive).
 _APPOSITIVE = re.compile(r",[^,]{1,60},(?!\s*and\b)")
+# Oxford-list continuation right of a would-be appositive's closing comma:
+# zero or more further comma items terminating in ", and" — the immediate
+# lookahead above only protects the FINAL list item, so interior items of
+# a 4+-conjunct list ("blue energy, beta systems, gamma corp, and delta
+# media acquired …") must be protected by walking the chain (round-3
+# ADVICE #1). Verb-free chain only: "acme corp, a chipmaker, acquired A,
+# B, and C" is still an appositive because the chain to ", and" crosses
+# the clause verb.
+_OXFORD_CHAIN = re.compile(r"(?:[^,]{1,60},){1,8}\s*and\b")
 
 
 def _strip_appositives(sentence: str) -> str:
@@ -587,6 +679,12 @@ def _strip_appositives(sentence: str) -> str:
             and toks[0] not in {"and", "or", "but"}
             and not any(t in _VERB_FORMS or t in _BE for t in toks)
         ):
+            chain = _OXFORD_CHAIN.match(m.string, m.end())
+            if chain is not None and not any(
+                _clean_token(t) in _VERB_FORMS or _clean_token(t) in _BE
+                for t in chain.group(0).split()
+            ):
+                return m.group(0)  # interior Oxford-list conjunct — keep
             return " "
         return m.group(0)
 
@@ -612,39 +710,73 @@ _PART_APPOS = re.compile(r",\s*([A-Za-z]+)\s+by\s+([^,.]+)([,.])")
 def _extract_participial_appositives(
     sentence: str,
 ) -> tuple[str, list[tuple[str, str, str, float]]]:
+    """Emit one passive-normalized triple per participial appositive and
+    strip the segments. Matches are walked MANUALLY (not one ``sub()``):
+    a single ``sub()`` computed every head NP from the unmodified sentence
+    prefix, so the second of two stacked appositives saw the first
+    segment's trailing comma and was silently dropped (round-3 ADVICE #4).
+    Stacked segments (", founded by A, advised by B,") share one closing
+    comma; the scan resumes ON that comma (``m.end() - 1``) so the next
+    segment still has its leading comma, and a chain continuation reuses
+    the head NP computed for the chain's first segment — all stacked
+    participial appositives modify the same head."""
     triples: list[tuple[str, str, str, float]] = []
-
-    def repl(m: re.Match) -> str:
+    spans: list[tuple[int, int, str]] = []  # (start, end, ender)
+    head_tokens: list[str] = []
+    prev_end = -1
+    pos = 0
+    while True:
+        m = _PART_APPOS.search(sentence, pos)
+        if m is None:
+            break
         part = _clean_token(m.group(1))
         if not _is_participle(part):
-            return m.group(0)
-        prefix = sentence[: m.start()].split()
-        ppairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix]
-        head_tokens, _hstart = _trim_subj(ppairs, len(ppairs))
-        # the head NP ends at the nearest clause verb ("blue energy
-        # ACQUIRED acme corp, founded by…" → head "acme corp")
-        for k in range(len(head_tokens) - 1, -1, -1):
-            if head_tokens[k] in _VERB_FORMS or head_tokens[k] in _BE:
-                head_tokens = head_tokens[k + 1 :]
-                break
+            pos = m.start() + 1
+            continue
+        if spans and m.start() == prev_end - 1:
+            head = head_tokens  # stacked chain: same head NP
+        else:
+            prefix = sentence[: m.start()].split()
+            ppairs = [
+                (_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix
+            ]
+            head, _hstart = _trim_subj(ppairs, len(ppairs))
+            # the head NP ends at the nearest clause verb ("blue energy
+            # ACQUIRED acme corp, founded by…" → head "acme corp")
+            for k in range(len(head) - 1, -1, -1):
+                if head[k] in _VERB_FORMS or head[k] in _BE:
+                    head = head[k + 1 :]
+                    break
         agent_raw = m.group(2).split()
         apairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in agent_raw]
         agent_tokens, _aend, _astop = _trim_obj(apairs, 0)
-        if not head_tokens or not agent_tokens:
-            return m.group(0)
-        triples.append(
-            (
-                " ".join(agent_tokens),
-                part,
-                " ".join(head_tokens),
-                _open_conf(agent_tokens, head_tokens),
+        if head and agent_tokens:
+            triples.append(
+                (
+                    " ".join(agent_tokens),
+                    part,
+                    " ".join(head),
+                    _open_conf(agent_tokens, head),
+                )
             )
-        )
-        # keep a clause-final ender so downstream boundary logic still
-        # sees the sentence close; an inner comma pair vanishes entirely
-        return m.group(3) if m.group(3) == "." else " "
-
-    return _PART_APPOS.sub(repl, sentence), triples
+            spans.append((m.start(), m.end(), m.group(3)))
+            head_tokens = head
+            prev_end = m.end()
+        pos = m.end() - 1  # shared comma may open the next stacked segment
+    if not spans:
+        return sentence, triples
+    # rewrite: drop accepted segments (a "." ender is kept so downstream
+    # boundary logic still sees the sentence close; commas vanish so the
+    # main clause reads across the gap). Overlapping chain spans collapse.
+    out: list[str] = []
+    cursor = 0
+    for start, end, ender in spans:
+        if start > cursor:
+            out.append(sentence[cursor:start])
+        out.append(ender if ender == "." else " ")
+        cursor = max(cursor, end)
+    out.append(sentence[cursor:])
+    return "".join(out), triples
 
 
 def _open_conf(subj_tokens: list[str], obj_tokens: list[str]) -> float:
@@ -754,7 +886,12 @@ def extract_triples(
                 and not boundary[j]
             ):
                 j += 1
-            if j > np_start and j < n and tokens[j] == "of":
+            if (
+                j > np_start
+                and j < n
+                and tokens[j] == "of"
+                and tokens[np_start] not in _PARTITIVES
+            ):
                 rel_end = j
                 subj_tokens, s_start = _trim_subj(pairs, i)
                 obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)

@@ -183,7 +183,11 @@ GOLD = [
     # --- adversarial: traps and structural misses -----------------------
     ("The plant works at capacity today.", "en", [], False),  # FP trap
     ("Nova media acquired 51 percent of atlas telecom.", "en",
-     [("nova media", "acquired", "atlas telecom")], False),  # quantity trap
+     [("nova media", "acquired", "atlas telecom")], True),
+    # quantity trap — promoted round 4 (partitive span + "of" extends the
+    # object to the NP after the quantity)
+    ("Acme corp acquired most of iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
     ("The annual works council met in berlin.", "en",
      [("annual works council", "met in", "berlin")], False),  # noun-verb FP trap
     ("Vertex analytics plans to acquire stellar labs.", "en",
@@ -230,8 +234,8 @@ GOLD = [
      [("maria lopez", "founded", "summit biotech"),
       ("james smith", "founded", "summit biotech"),
       ("omar haddad", "founded", "summit biotech")],
-     False),  # adverbial-led subject list: rejected wholesale by design
-               # (only the direct subject survives)
+     True),  # adverbial-led subject list — promoted round 4 (short
+             # sentence-initial lead-in no longer rejects the list)
     ("The acquisition of iron foods boosted revenue.", "en",
      [("acquisition", "boosted", "revenue")],
      False),  # out-of-dictionary verb — structurally missed
@@ -378,6 +382,89 @@ GOLD = [
       ("蓝海集团", "located in", "深圳")], True),  # two full clauses
     ("王伟在蓝海集团没担任总经理。", "zh", [], True),
     # mid-pattern negator (在Y没担任) — no edge from either span
+    # --- round 4: ADVICE fixes + promoted recall tail ------------------
+    ("Blue energy, beta systems, gamma corp, and delta media acquired"
+     " iron foods.", "en",
+     [("blue energy", "acquired", "iron foods"),
+      ("beta systems", "acquired", "iron foods"),
+      ("gamma corp", "acquired", "iron foods"),
+      ("delta media", "acquired", "iron foods")],
+     True),  # 4-conjunct Oxford subject list (ADVICE #1: interior items
+             # were stripped as appositives)
+    ("Acme corp acquired iron foods, beta systems, gamma corp, and"
+     " delta media.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("acme corp", "acquired", "beta systems"),
+      ("acme corp", "acquired", "gamma corp"),
+      ("acme corp", "acquired", "delta media")],
+     True),  # 4-conjunct Oxford object list
+    ("Acme corp, a chipmaker, acquired iron foods, beta systems, and"
+     " gamma corp.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("acme corp", "acquired", "beta systems"),
+      ("acme corp", "acquired", "gamma corp")],
+     True),  # appositive before an Oxford object list: the chain to
+             # ", and" crosses the clause verb, so the appositive is
+             # still stripped (ADVICE #1 refinement)
+    ("Acme corp is one of the largest companies in europe.", "en",
+     [], True),  # partitive NP head — not a relation (ADVICE #2)
+    ("Summit biotech is part of apex holdings.", "en",
+     [("summit biotech", "is part of", "apex holdings")], True),
+    # relational "part of" kept — only quantifier heads are rejected
+    ("Maria lopez is a member of the advisory board.", "en",
+     [("maria lopez", "is a member of", "advisory board")], True),
+    ("Acme corp, founded by elena novak, managed by victor cruz,"
+     " acquired iron foods.", "en",
+     [("elena novak", "founded", "acme corp"),
+      ("victor cruz", "managed", "acme corp"),
+      ("acme corp", "acquired", "iron foods")],
+     True),  # stacked participial appositives share one head (ADVICE #4)
+    ("Maria lopez, james smith founded summit biotech.", "en",
+     [("maria lopez", "founded", "summit biotech"),
+      ("james smith", "founded", "summit biotech")],
+     True),  # bare comma subject pair (promoted round 4)
+    ("Acme corp, nova media partnered with blue energy.", "en",
+     [("acme corp", "partnered with", "blue energy"),
+      ("nova media", "partnered with", "blue energy")], True),
+    ("Yesterday, maria lopez, james smith, and omar haddad founded"
+     " summit biotech.", "en",
+     [("maria lopez", "founded", "summit biotech"),
+      ("james smith", "founded", "summit biotech"),
+      ("omar haddad", "founded", "summit biotech")],
+     True),  # sentence-initial bare adverb dropped, conjuncts kept
+    ("Yesterday, acme corp acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    # dateline adverb is never a co-subject
+    ("In march, maria lopez, james smith, and omar haddad founded"
+     " summit biotech.", "en",
+     [("maria lopez", "founded", "summit biotech"),
+      ("james smith", "founded", "summit biotech"),
+      ("omar haddad", "founded", "summit biotech")],
+     True),  # short adverbial lead-in before the list (promoted)
+    ("With support from blue energy, nova media launched a new"
+     " service.", "en",
+     [("nova media", "launched", "new service")], True),
+    # long PP lead-in: the comma items may be inside the PP — the list
+    # is rejected wholesale, only the direct subject fires (guard)
+    ("星辰软件被蓝海集团收购了，投资了华光能源。", "zh",
+     [("蓝海集团", "acquired", "星辰软件")], True),
+    # after a 被-passive, subject inheritance is ambiguous (topic chain
+    # reads the patient as subject) — no edge from clause 2 (ADVICE #3)
+    ("李娜参观了天河科技。", "zh",
+     [("李娜", "visited", "天河科技")], True),  # promoted (round 4)
+    ("代表团访问了蓝海集团。", "zh",
+     [("代表团", "visited", "蓝海集团")], True),
+    ("张强创办了南山资本。", "zh",
+     [("张强", "founded", "南山资本")], True),
+    ("天河科技发布了新产品。", "zh",
+     [("天河科技", "launched", "新产品")], True),
+    ("华光能源开发了新技术。", "zh",
+     [("华光能源", "developed", "新技术")], True),
+    ("蓝海集团聘用了李娜。", "zh",
+     [("蓝海集团", "hired", "李娜")], True),
+    ("李娜没有参观天河科技。", "zh", [], True),
+    # 没有 negation guard extends to the new patterns
+    ("张强没创办南山资本。", "zh", [], True),
 ]
 
 
@@ -453,17 +540,19 @@ def test_known_limitations_are_pinned():
         t[:3]
         for t in extract_triples("Global dynamics is a logistics company.", "en")
     ] == [("global dynamics", "is a", "logistics company")]
-    # a bare two-item comma pair without "and" stays un-coordinated: it is
-    # indistinguishable from an appositive rename, so only the head is
-    # extracted (conservative by design)
+    # a bare two-item comma pair without "and" stays un-coordinated on the
+    # OBJECT side: it is indistinguishable from an appositive rename, so
+    # only the head is extracted (conservative by design; the SUBJECT-side
+    # bare pair is promoted in round 4 — see test_round4_recall_promoted)
     assert [
         t[:3]
         for t in extract_triples(
             "Acme corp acquired iron foods, golden software.", "en"
         )
     ] == [("acme corp", "acquired", "iron foods")]
-    # zh: verbs outside ZH_REL_PATTERNS (参观 "visited") are not extracted
-    assert extract_triples("李娜参观了天河科技。", "zh") == []
+    # zh: verbs outside ZH_REL_PATTERNS (举办 "hosted") are not extracted
+    # (参观/访问/创办/发布/开发/聘用 were promoted in round 4)
+    assert extract_triples("李娜举办了发布会。", "zh") == []
 
 
 def test_round3_coordination_promoted():
@@ -513,16 +602,20 @@ def test_round3_coordination_promoted():
         ("maria lopez", "founded", "summit biotech"),
         ("james smith", "founded", "summit biotech"),
     ]
-    # an adverbial-led list cannot be confirmed as subject coordination —
-    # rejected wholesale, only the direct subject survives
-    assert [
+    # a SHORT sentence-initial adverbial lead-in no longer rejects the
+    # subject list (promoted round 4): all three conjuncts extracted
+    assert sorted(
         t[:3]
         for t in extract_triples(
             "After the meeting, maria lopez, james smith, and omar haddad"
             " founded summit biotech.",
             "en",
         )
-    ] == [("omar haddad", "founded", "summit biotech")]
+    ) == [
+        ("james smith", "founded", "summit biotech"),
+        ("maria lopez", "founded", "summit biotech"),
+        ("omar haddad", "founded", "summit biotech"),
+    ]
     # appositive rename after the object is NOT a conjunct
     assert [
         t[:3]
