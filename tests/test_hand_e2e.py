@@ -133,3 +133,111 @@ def test_edges_match_hand_annotation(pipeline_outputs):
     _, _, edge_rows = pipeline_outputs
     got = sorted((r.subj_id, r.pred, r.obj_id, r.url, r.day) for r in edge_rows)
     assert got == sorted(EXPECTED_EDGES)
+
+
+# ---------------------------------------------------------------------------
+# round-4 extension (round-3 verdict next-step #4): hand-derived gate for
+# the mention-scan → link → co-occurrence path (the composed semantics
+# behind the kg_mentions / kg_cooccur contract queries). Every expected
+# count below was tallied BY HAND from the documented matcher semantics
+# (kgforge/linking/mentions.py docstring: en leftmost-longest non-
+# overlapping token scan; zh non-overlapping per-alias substring scan) —
+# never computed by kgforge code.
+#
+# Hand tally (url/sent → dictionary surfaces → canon via the sameAs
+# component E1={E1,E2}):
+#   a0 "Acme corp acquired iron foods."        → acme corp, iron foods
+#   a1 "Maria lopez works at acme corporation."→ maria lopez, acme corporation
+#   b0 "Iron foods was acquired by acme corp." → iron foods, acme corp
+#   b1 "Silver motors is a carmaker."          → silver motors
+#   c0 "李娜在天河科技担任总经理。"              → 李娜, 天河科技
+#   d0 "Maria lopez visited silver motors and iron foods."
+#                                              → maria lopez, silver motors,
+#                                                iron foods
+#   e0 "Acme corp praised acme corp employees."→ acme corp ×2 (non-overlap)
+# mention counts: E1=5 (a0, a1, b0, e0×2), E3=3 (a0, b0, d0),
+#                 E4=2 (a1, d0), E7=2 (b1, d0), E5=1, E6=1 (c0)
+# co-occurrence (DISTINCT canon ids per sentence, unordered pairs e1<e2):
+#   a0 {E1,E3}, a1 {E1,E4}, b0 {E1,E3}, b1 {E7}, c0 {E5,E6},
+#   d0 {E3,E4,E7}, e0 {E1} (repeat collapses, no self-pair)
+# pair counts: (E1,E3)=2, (E1,E4)=1, (E3,E4)=1, (E3,E7)=1, (E4,E7)=1,
+#              (E5,E6)=1
+# ---------------------------------------------------------------------------
+
+MENTION_DOCS = DOCS + [
+    ("https://w/d", TS_C, "en",
+     "Maria lopez visited silver motors and iron foods."),
+    ("https://w/e", TS_C, "en",
+     "Acme corp praised acme corp employees."),
+]
+
+EXPECTED_MENTION_COUNTS = [  # (canon_id, n) in (n desc, canon asc) order
+    ("E1", 5),
+    ("E3", 3),
+    ("E4", 2),
+    ("E7", 2),
+    ("E5", 1),
+    ("E6", 1),
+]
+
+EXPECTED_COOCCUR = [  # (e1, e2, n) in (n desc, e1 asc, e2 asc) order
+    ("E1", "E3", 2),
+    ("E1", "E4", 1),
+    ("E3", "E4", 1),
+    ("E3", "E7", 1),
+    ("E4", "E7", 1),
+    ("E5", "E6", 1),
+]
+
+
+@pytest.fixture(scope="module")
+def mention_outputs(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.stages.link import scan_mentions
+
+    norm = spark.createDataFrame(
+        MENTION_DOCS, "url string, warc_ts timestamp, lang string, text_norm string"
+    )
+    alias_df = spark.createDataFrame(
+        ALIASES, "alias string, entity_id string, canon string, prior double"
+    )
+    aliases = [r.alias for r in alias_df.select("alias").distinct().collect()]
+    hits = scan_mentions(sentences(norm), aliases)
+    amap = alias_resolution(alias_df)
+    linked = hits.join(
+        F.broadcast(amap), hits["mention"] == amap["alias"]
+    ).select("url", "sent_id", "canon_id")
+    counts = (
+        linked.groupBy("canon_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("canon_id"))
+        .collect()
+    )
+    ents = linked.distinct()
+    a, b = ents.alias("a"), ents.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.url") == F.col("b.url"))
+            & (F.col("a.sent_id") == F.col("b.sent_id"))
+            & (F.col("a.canon_id") < F.col("b.canon_id")),
+        )
+        .groupBy(
+            F.col("a.canon_id").alias("e1"), F.col("b.canon_id").alias("e2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"))
+        .collect()
+    )
+    return counts, pairs
+
+
+def test_mention_counts_match_hand_tally(mention_outputs):
+    counts, _ = mention_outputs
+    assert [(r.canon_id, r.n) for r in counts] == EXPECTED_MENTION_COUNTS
+
+
+def test_cooccurrence_matches_hand_tally(mention_outputs):
+    _, pairs = mention_outputs
+    assert [(r.e1, r.e2, r.n) for r in pairs] == EXPECTED_COOCCUR
