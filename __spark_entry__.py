@@ -368,6 +368,73 @@ def _kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_edge_diff_topk(spark, path)
 
 
+def _kg_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity profile (graph.analytics.entity_profile): out/in
+    assertion counts, distinct predicates, first/last crawl day; top-20 by
+    activity. One shuffle, map-side partial agg. Oracle: expected twin."""
+    from kgforge.graph.analytics import entity_profile
+
+    return entity_profile(_kg_day_edges(spark, sf_dir))
+
+
+def _kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reach per seed (graph.analytics.two_hop_reach): distinct nodes
+    within 2 directed hops, hub-explosion bounded by early distincts + AQE
+    skew split. Oracle: expected twin (independent BFS-2)."""
+    from kgforge.graph.analytics import two_hop_reach
+
+    return two_hop_reach(_kg_day_edges(spark, sf_dir))
+
+
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation
+    (graph.analytics.triangle_counts — wedges enumerated at the lowest-
+    degree vertex so hot entities can't explode the shuffle). Oracle:
+    expected twin computed by an INDEPENDENT method (edge-wise neighbor-set
+    intersection)."""
+    from kgforge.graph.analytics import triangle_counts
+
+    return triangle_counts(_kg_day_edges(spark, sf_dir))
+
+
+def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes from deterministic synchronous label propagation
+    (graph.analytics.label_propagation, 5 rounds, max-count tie→min-label).
+    Oracle: expected twin."""
+    from kgforge.graph.analytics import label_propagation
+
+    return label_propagation(_kg_day_edges(spark, sf_dir))
+
+
+def _kg_edge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins edge attribution (batch analog of a streaming edge
+    upsert): per canonical edge the assertion count + latest (warc_ts, url).
+    Oracle: expected twin."""
+    from kgforge.graph.analytics import edge_latest
+
+    return edge_latest(_kg_day_edges(spark, sf_dir))
+
+
+def _kg_pred_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate canonicalization (extract.predicates): lemma + synonym
+    collapse computed on the DISTINCT predicate set driver-side and
+    broadcast-joined back (edge stream stays JVM-only); top-20 canonical
+    relations by assertion count with surface-form counts. Oracle: expected
+    twin (shared canonicalize_pred, independent aggregation)."""
+    from kgforge.extract.predicates import canonicalize_predicates
+
+    canon = canonicalize_predicates(_kg_day_edges(spark, sf_dir))
+    return (
+        canon.groupBy("canon_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("pred").alias("n_surfaces"),
+        )
+        .orderBy(F.desc("n"), F.asc("canon_pred"))
+        .limit(20)
+    )
+
+
 def _kg_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via the fake
     decoder backend (real decode stubbed; see kgforge.functions.multimodal)."""
@@ -410,6 +477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_over_time": _kg_degree_over_time,
         "kg_window_subgraph": _kg_window_subgraph,
         "kg_edge_diff": _kg_edge_diff,
+        "kg_entity_profile": _kg_entity_profile,
+        "kg_two_hop": _kg_two_hop,
+        "kg_triangles": _kg_triangles,
+        "kg_communities": _kg_communities,
+        "kg_edge_latest": _kg_edge_latest,
+        "kg_pred_canon": _kg_pred_canon,
     }
     from kgforge.queries import QUERIES
 

@@ -1,0 +1,223 @@
+"""Graph analytics over the canonical edge table — entity profiles, 2-hop
+reach, triangle counting, label-propagation communities.
+
+Target-only operators (SURVEY.md §2.11 family): the reference has no graph
+store; these are the standard serving queries a KG built at crawl scale
+must answer without touching raw documents. All four are pure DataFrame
+plans (no Python in the hot path); the iterative one (label propagation)
+follows the same driver-side fixpoint pattern as kgforge.graph.cc and
+kgforge.graph.pagerank (synchronous updates + ``localCheckpoint`` lineage
+truncation).
+
+Scale notes per operator:
+- ``entity_profile``: one union + one grouped aggregation — a single
+  shuffle on ``node`` with map-side partial aggregation; no joins.
+- ``two_hop_reach``: the wedge join is the classic hub-explosion hazard;
+  both hop sets are DISTINCT-ed before the union so the join output is
+  bounded by the distinct wedge count, and AQE's skew-join splitting
+  handles the hot-entity key (the fixture plants one in ~30% of docs).
+- ``triangle_counts``: degree-ordered orientation (Latapy's compact-
+  forward / the standard MR triangle trick): orient every undirected edge
+  from the (degree, node)-smaller endpoint to the larger, so each wedge is
+  enumerated exactly once AT the lowest-degree vertex — the join fan-out
+  per node is O(d_min²) instead of O(d_max²), which is what keeps hub
+  vertices from exploding the shuffle at web scale.
+- ``label_propagation``: synchronous min-of-(count desc, label) updates are
+  deterministic (no async race like classic LPA); each iteration is one
+  join + two grouped aggregations, all keyed on ``node``/``nbr`` so AQE
+  reuses the exchange where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entity_profile(edges_day_df: DataFrame, k: int = 20) -> DataFrame:
+    """Per-entity activity profile over the assertion stream (NOT distinct
+    edges — a profile counts assertions): out/in edge counts, distinct
+    predicate count, first/last crawl day; top-k by total activity.
+
+    Columns: node, out_edges, in_edges, n_preds, first_day, last_day.
+    """
+    roles = edges_day_df.select(
+        F.col("subj_id").alias("node"), "pred", "day", F.lit(1).alias("is_out")
+    ).unionAll(
+        edges_day_df.select(
+            F.col("obj_id").alias("node"), "pred", "day", F.lit(0).alias("is_out")
+        )
+    )
+    prof = roles.groupBy("node").agg(
+        F.sum("is_out").alias("out_edges"),
+        F.sum(1 - F.col("is_out")).alias("in_edges"),
+        F.count_distinct("pred").alias("n_preds"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+    return prof.orderBy(
+        F.desc(F.col("out_edges") + F.col("in_edges")), F.asc("node")
+    ).limit(k)
+
+
+def two_hop_reach(edges_df: DataFrame, k: int = 20) -> DataFrame:
+    """Distinct nodes reachable in 1 or 2 directed hops (seed excluded),
+    per seed; top-k by (reach desc, node). Columns: node, reach."""
+    e = (
+        edges_df.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    hop2 = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .distinct()
+    )
+    reach = (
+        e.unionAll(hop2)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("reach"))
+    )
+    return reach.orderBy(F.desc("reach"), F.asc("node")).limit(k)
+
+
+def _undirected(edges_df: DataFrame) -> DataFrame:
+    """Distinct undirected edge set as (u, v) with u < v (self-loops out)."""
+    return (
+        edges_df.select(
+            F.least("subj_id", "obj_id").alias("u"),
+            F.greatest("subj_id", "obj_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges_df: DataFrame, k: int = 20) -> DataFrame:
+    """Per-node triangle participation counts on the undirected distinct
+    graph, top-k by (n_triangles desc, node). Columns: node, n_triangles.
+
+    Degree-ordered orientation: each undirected edge points from the
+    (degree, node)-lexicographically smaller endpoint to the larger —
+    encoded as a sortable string key ``zeropad(degree)|node`` so the
+    orientation is a plain column comparison, no rank assignment (a global
+    row_number would be a single-task sort bottleneck). Wedges are then
+    enumerated only at their lowest-key vertex and closed with one join
+    against the oriented edge set.
+    """
+    und = _undirected(edges_df)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .withColumn(
+            "okey", F.concat(F.lpad(F.col("degree"), 12, "0"), F.lit("|"), F.col("node"))
+        )
+        .select("node", "okey")
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("khi"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.lo") == F.col("w2.lo")) & (F.col("w1.khi") < F.col("w2.khi")),
+    ).select(
+        F.col("w1.lo").alias("x"),
+        F.col("w1.hi").alias("y"),
+        F.col("w2.hi").alias("z"),
+    )
+    closer = oriented.select(
+        F.col("lo").alias("y"), F.col("hi").alias("z")
+    )
+    tris = wedges.join(closer, ["y", "z"], "inner")
+    per_node = (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node.orderBy(F.desc("n_triangles"), F.asc("node")).limit(k)
+
+
+def label_propagation(
+    edges_df: DataFrame, iterations: int = 5, k: int = 20
+) -> DataFrame:
+    """Deterministic synchronous label propagation on the undirected
+    distinct graph: every node starts as its own label; each round a node
+    adopts its neighborhood's most frequent label (ties → lexicographic
+    min); after ``iterations`` rounds, community sizes top-k by
+    (size desc, community asc). Columns: community, size."""
+    und = _undirected(edges_df)
+    nbrs = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        nbr_labels = nbrs.join(
+            labels.withColumnRenamed("node", "nbr").withColumnRenamed(
+                "label", "nbr_label"
+            ),
+            "nbr",
+        ).select("node", "nbr_label")
+        votes = nbr_labels.groupBy("node", "nbr_label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # max count, tie → min label: lexicographic MIN of (-cnt, label)
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("nbr_label"))).alias(
+                    "best"
+                )
+            )
+            .select("node", F.col("best.nbr_label").alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(k)
+    )
+
+
+def edge_latest(edges_df: DataFrame, k: int = 20) -> DataFrame:
+    """Latest-wins edge attribution (the batch analog of a streaming edge
+    upsert): per (subj_id, pred, obj_id) the assertion count, the latest
+    warc_ts (as epoch seconds — timezone-proof) and the url that carried
+    it (ties → max url). One grouped aggregation, single shuffle.
+    Columns: subj_id, pred, obj_id, n, last_ts, last_url."""
+    agg = edges_df.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.struct(F.col("warc_ts").cast("long").alias("ts"), F.col("url"))
+        ).alias("last"),
+    )
+    return (
+        agg.select(
+            "subj_id",
+            "pred",
+            "obj_id",
+            "n",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.url").alias("last_url"),
+        )
+        .orderBy(
+            F.desc("last_ts"), F.asc("subj_id"), F.asc("pred"), F.asc("obj_id")
+        )
+        .limit(k)
+    )

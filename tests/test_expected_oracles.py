@@ -43,6 +43,12 @@ def _spark_rows(df) -> set[tuple]:
         "kg_mentions",
         "kg_linked_fuzzy",
         "kg_cooccur",
+        "kg_entity_profile",
+        "kg_two_hop",
+        "kg_triangles",
+        "kg_communities",
+        "kg_edge_latest",
+        "kg_pred_canon",
     ],
 )
 def test_spark_matches_expected_parquet(spark, expected_paths, name):

@@ -1,0 +1,164 @@
+"""Hand-derived gates for the round-4 graph-analytics suite (entity
+profiles, 2-hop reach, degree-ordered triangle counting, synchronous label
+propagation, latest-wins edge upsert) and predicate canonicalization.
+
+All expected values below are computed BY HAND from the documented
+semantics — independent of both the Spark implementations and the
+pure-Python oracle twins in kgforge.fixtures.expected (which use their own
+third method where feasible, e.g. edge-wise neighbor intersection for
+triangles vs Spark's orientation join)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.extract.predicates import canonicalize_pred, canonicalize_predicates
+from kgforge.graph.analytics import (
+    edge_latest,
+    entity_profile,
+    label_propagation,
+    triangle_counts,
+    two_hop_reach,
+)
+
+UTC = datetime.timezone.utc
+
+
+def _edges(spark, rows):
+    """rows: (subj_id, pred, obj_id, url, epoch_s, day)."""
+    data = [
+        (s, p, o, u, datetime.datetime.fromtimestamp(ts, tz=UTC), d)
+        for s, p, o, u, ts, d in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "subj_id string, pred string, obj_id string, url string,"
+        " warc_ts timestamp, day string",
+    )
+
+
+def test_entity_profile_hand(spark):
+    rows = [
+        # a asserts twice (2 preds, days 01/03), receives once (day 02)
+        ("a", "acquired", "b", "u1", 100, "2025-01-01"),
+        ("a", "founded", "c", "u2", 200, "2025-01-03"),
+        ("b", "supplies", "a", "u3", 300, "2025-01-02"),
+    ]
+    got = [tuple(r) for r in entity_profile(_edges(spark, rows)).collect()]
+    assert got == [
+        ("a", 2, 1, 3, "2025-01-01", "2025-01-03"),
+        ("b", 1, 1, 2, "2025-01-01", "2025-01-02"),
+        ("c", 0, 1, 1, "2025-01-03", "2025-01-03"),
+    ]
+
+
+def test_two_hop_hand(spark):
+    # a→b→c→d chain + duplicate assertion + self-loop (both ignored)
+    rows = [
+        ("a", "p", "b", "u", 0, "d"),
+        ("a", "p2", "b", "u", 0, "d"),  # duplicate edge collapses
+        ("b", "p", "c", "u", 0, "d"),
+        ("c", "p", "d", "u", 0, "d"),
+        ("d", "p", "d", "u", 0, "d"),  # self-loop excluded
+    ]
+    got = {r["node"]: r["reach"] for r in two_hop_reach(_edges(spark, rows)).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}  # a:{b,c} b:{c,d} c:{d}
+
+
+def test_triangles_hand(spark):
+    # one triangle {a,b,c} (with a reversed duplicate) + pendant c-d
+    rows = [
+        ("a", "p", "b", "u", 0, "d"),
+        ("b", "p", "a", "u", 0, "d"),  # same undirected edge
+        ("b", "p", "c", "u", 0, "d"),
+        ("a", "p", "c", "u", 0, "d"),
+        ("c", "p", "d", "u", 0, "d"),
+    ]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, rows)).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_two_overlapping(spark):
+    # K4 minus one edge: triangles {a,b,c} and {a,c,d} share edge a-c
+    rows = [
+        ("a", "p", "b", "u", 0, "d"),
+        ("a", "p", "c", "u", 0, "d"),
+        ("a", "p", "d", "u", 0, "d"),
+        ("b", "p", "c", "u", 0, "d"),
+        ("c", "p", "d", "u", 0, "d"),
+    ]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, rows)).collect()
+    }
+    assert got == {"a": 2, "b": 1, "c": 2, "d": 1}
+
+
+def test_label_propagation_hand(spark):
+    """Clique {a,b,c} bridged to {d,e}: hand-traced synchronous rounds
+    (max-count, tie→min-label) converge to one community of 5 by round 4."""
+    rows = [
+        ("a", "p", "b", "u", 0, "d"),
+        ("a", "p", "c", "u", 0, "d"),
+        ("b", "p", "c", "u", 0, "d"),
+        ("c", "p", "d", "u", 0, "d"),
+        ("d", "p", "e", "u", 0, "d"),
+    ]
+    got = [tuple(r) for r in label_propagation(_edges(spark, rows)).collect()]
+    assert got == [("a", 5)]
+
+
+def test_edge_latest_hand(spark):
+    rows = [
+        ("a", "acquired", "b", "u_old", 100, "d1"),
+        ("a", "acquired", "b", "u_new", 500, "d2"),
+        ("a", "acquired", "b", "u_tie", 500, "d2"),  # ts tie → max url wins
+        ("x", "founded", "y", "u_x", 900, "d3"),
+    ]
+    got = [tuple(r) for r in edge_latest(_edges(spark, rows)).collect()]
+    assert got == [
+        ("x", "founded", "y", 1, 900, "u_x"),
+        ("a", "acquired", "b", 3, 500, "u_tie"),
+    ]
+
+
+@pytest.mark.parametrize(
+    ("pred", "want"),
+    [
+        ("acquired", "acquire"),
+        ("has acquired", "acquire"),
+        ("purchases", "acquire"),
+        ("bought", "acquire"),
+        ("is a", "is a"),  # copular: aux is NOT stripped down to the article
+        ("invested in", "invest in"),
+        ("works at", "work at"),
+        ("was founded", "found"),
+        ("established", "found"),
+        ("headquartered", "locate"),
+        ("serves as", "serve as"),
+        ("collaborated", "partner"),
+        ("frobnicated", "frobnicated"),  # out-of-dictionary: unchanged
+    ],
+)
+def test_canonicalize_pred(pred, want):
+    assert canonicalize_pred(pred) == want
+
+
+def test_pred_canon_broadcast_plan(spark):
+    """The canonical-predicate map must come back as a BROADCAST hash join:
+    the edge stream side never shuffles for this stage."""
+    rows = [
+        ("a", "acquired", "b", "u", 0, "d"),
+        ("a", "purchased", "b", "u", 1, "d"),
+        ("a", "bought", "b", "u", 2, "d"),
+    ]
+    df = canonicalize_predicates(_edges(spark, rows))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    got = {r["pred"]: r["canon_pred"] for r in df.collect()}
+    assert got == {"acquired": "acquire", "purchased": "acquire", "bought": "acquire"}
