@@ -84,6 +84,43 @@ def two_hop_reach(edges_df: DataFrame, k: int = 20) -> DataFrame:
     return reach.orderBy(F.desc("reach"), F.asc("node")).limit(k)
 
 
+def two_hop_reach_approx(
+    edges_df: DataFrame, k: int = 20, lg_k: int = 12
+) -> DataFrame:
+    """Sketch-based 2-hop reach — the crawl-scale path beside the exact
+    wedge join above (same pairing as ANN brute-force vs LSH-bucketed).
+
+    The exact plan's wedge join emits one row per (src, mid, dst) path —
+    O(Σ d_in(m)·d_out(m)), quadratic in hub degree, which is exactly what
+    the fixture's 30%-hot entity detonates. Here every node's out-neighbor
+    set is first collapsed into a DataSketches HLL sketch
+    (``hll_sketch_agg``, Spark ≥3.5 built-in, JVM-side); the hop join then
+    moves ONE SKETCH ROW PER EDGE (bounded by |E|, not by wedge count) and
+    ``hll_union_agg`` merges per seed. Standard error ≈ 1.04/√2^lg_k
+    (~1.6% at the default lg_k=12); sketches for low-degree nodes stay in
+    sparse mode, so the shuffled bytes track true neighborhood sizes.
+
+    Semantics deltas vs the exact variant (documented, tested within
+    tolerance): estimates are approximate, and the seed itself is not
+    subtracted from its own reach (a ≤1 absolute difference).
+    Columns: node, reach_est (double).
+    """
+    e = (
+        edges_df.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbr_sk = e.groupBy(F.col("src").alias("node")).agg(
+        F.hll_sketch_agg("dst", F.lit(lg_k)).alias("sk")
+    )
+    hop2 = e.join(nbr_sk, e["dst"] == nbr_sk["node"]).select("src", "sk")
+    contribs = hop2.unionAll(nbr_sk.select(F.col("node").alias("src"), "sk"))
+    reach = contribs.groupBy(F.col("src").alias("node")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double").alias("reach_est")
+    )
+    return reach.orderBy(F.desc("reach_est"), F.asc("node")).limit(k)
+
+
 def _undirected(edges_df: DataFrame) -> DataFrame:
     """Distinct undirected edge set as (u, v) with u < v (self-loops out)."""
     return (

@@ -20,6 +20,7 @@ from kgforge.graph.analytics import (
     label_propagation,
     triangle_counts,
     two_hop_reach,
+    two_hop_reach_approx,
 )
 
 UTC = datetime.timezone.utc
@@ -64,6 +65,26 @@ def test_two_hop_hand(spark):
     ]
     got = {r["node"]: r["reach"] for r in two_hop_reach(_edges(spark, rows)).collect()}
     assert got == {"a": 2, "b": 2, "c": 1}  # a:{b,c} b:{c,d} c:{d}
+
+
+def test_two_hop_sketch_tracks_exact(spark):
+    """The HLL variant (the crawl-scale path: one sketch row per edge, no
+    wedge fan-out) must estimate within tolerance of the exact wedge join
+    on a hub-heavy graph, including a planted hot entity."""
+    rows = [("hub", "p", f"n{i}", "u", 0, "d") for i in range(40)]
+    rows += [(f"m{i}", "p", "hub", "u", 0, "d") for i in range(25)]
+    rows += [(f"n{i}", "p", f"n{i + 1}", "u", 0, "d") for i in range(20)]
+    e = _edges(spark, rows)
+    exact = {r["node"]: r["reach"] for r in two_hop_reach(e, k=1000).collect()}
+    est = {
+        r["node"]: r["reach_est"]
+        for r in two_hop_reach_approx(e, k=1000).collect()
+    }
+    assert set(est) == set(exact)
+    for node, want in exact.items():
+        # ±1 for the undeleted seed + HLL relative error (~1.6% at lg_k=12,
+        # exact below the sparse-mode threshold at these set sizes)
+        assert abs(est[node] - want) <= 1 + 0.05 * want, (node, est[node], want)
 
 
 def test_triangles_hand(spark):
