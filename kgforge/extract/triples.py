@@ -39,6 +39,38 @@ _STOPWORDS = {
     "who", "whom", "whose", "which", "that", "where", "when", "it", "its",
     "he", "she", "they", "them", "his", "her", "their", "we", "us", "our",
     "you", "your", "i", "this", "these", "those",
+    # gerundive auxiliary: "Having acquired X, …" — "having" can never be
+    # an entity token, and as a subject span it made a garbage triple
+    "having",
+    # quantifier opening a coordination ("Both A and B acquired …") — span
+    # boundary, with an explicit clause-opening carve-out in
+    # _coord_subjects so the A conjunct still commits
+    "both",
+}
+
+# matrix/report verbs introducing a complement clause ("Analysts BELIEVE
+# acme corp acquired …", "the ceo SAID acme corp …"): a subject span must
+# stop at them (they mark the matrix-clause boundary exactly like a
+# stopword), otherwise the matrix subject+verb is absorbed into the
+# embedded clause's subject. Disjoint from the open-tier verb dictionary —
+# "announced"/"reported" stay relations; these are pure
+# clause-introducers.
+_REPORT_VERBS = {
+    "say", "says", "said", "believe", "believes", "believed", "think",
+    "thinks", "thought", "claim", "claims", "claimed", "suggest",
+    "suggests", "suggested", "insist", "insists", "insisted", "argue",
+    "argues", "argued", "note", "notes", "noted", "add", "adds",
+    "estimate", "estimates", "estimated", "predict", "predicts",
+    "predicted", "warn", "warns", "warned",
+}
+
+# polarity-reversing clause context: a subject-span walk that crosses one
+# of these means the clause content is DENIED or negatively coordinated
+# ("Neither A nor B acquired …", "the ceo denied acme corp acquired …") —
+# the triple is suppressed outright (empty span), not merely trimmed.
+_SPAN_SUPPRESSORS = {
+    "neither", "nor", "deny", "denies", "denied", "dispute", "disputes",
+    "disputed",
 }
 
 # ---------------------------------------------------------------------------
@@ -194,7 +226,14 @@ _REL_CLAUSE = re.compile(r",\s*(?:who|whom|whose|which|that)\b[^,]*,")
 # ("works at the united nations"). Neither occurs in the synthetic fixture,
 # so fixture-tier outputs are unchanged; the hand-annotated gold set
 # (tests/test_gold_triples.py) measures the effect on real-shaped prose.
-_AUX = {"is", "was", "are", "were", "be", "been", "being", "has", "had", "have"}
+_AUX = {
+    "is", "was", "are", "were", "be", "been", "being", "has", "had", "have",
+    # modals + do-support: relation-adjacent auxiliaries ("acme corp WILL
+    # acquire", "DID acquire") — skipped in the subject walk and the
+    # negation gap exactly like BE/HAVE
+    "will", "would", "can", "could", "may", "might", "must", "shall",
+    "should", "do", "does", "did",
+}
 _DETS = {"the", "a", "an"}
 
 # partitive/quantifier NP heads: "is one of the largest companies" is a
@@ -253,6 +292,10 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "发布了?" + _ZH_ENT), "launched", False),
     (re.compile(_ZH_ENT + "开发了?" + _ZH_ENT), "developed", False),
     (re.compile(_ZH_ENT + "聘用了?" + _ZH_ENT), "hired", False),
+    (re.compile(_ZH_ENT + "举办了?" + _ZH_ENT), "hosted", False),
+    # "X与Y签署了(合作)协议" — signing an agreement together is the
+    # partnership assertion; the 与-coordination carries the second entity
+    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "签署"), "partnered with", False),
 ]
 
 MAX_ARG_TOKENS = 4  # entity window either side of the relation
@@ -295,7 +338,10 @@ def _trim_subj(
             j -= 1  # "X is located in", "X has acquired", "X officially merged"
             continue
         started = True
-        if tok in _STOPWORDS or not tok or trailing_punct:
+        if tok in _SPAN_SUPPRESSORS:
+            # denial / negative coordination crossed: no edge at all
+            return [], hi
+        if tok in _STOPWORDS or tok in _REPORT_VERBS or not tok or trailing_punct:
             break
         out.append(tok)
         start = j
@@ -332,6 +378,13 @@ def _trim_obj(
         if trailing_punct or len(out) >= MAX_ARG_TOKENS:
             break
         j += 1
+    if out and all(
+        t in _REL_ADVERBS or t in _SENT_ADVERBS or t in _MANNER_ADVERBS
+        for t in out
+    ):
+        # an all-adverb "object" is a manner/degree adjunct, not an entity
+        # ("acme corp expanded RAPIDLY" asserts no edge)
+        return [], end, stopped_at
     if (
         out
         and stopped_at is not None
@@ -343,6 +396,18 @@ def _trim_obj(
         # quantity (round-4 promotion of the quantity-object trap)
         return _trim_obj(pairs, stopped_at + 1)
     return out, end, stopped_at
+
+
+# manner/degree adverbs seen object-adjacent in web prose; together with
+# _REL_ADVERBS/_SENT_ADVERBS these define the all-adverb object rejection
+# in _trim_obj (a span made only of these is an adjunct, not an entity)
+_MANNER_ADVERBS = {
+    "rapidly", "sharply", "strongly", "dramatically", "modestly",
+    "slightly", "substantially", "considerably", "aggressively",
+    "globally", "internationally", "locally", "domestically", "abroad",
+    "overseas", "worldwide", "nationwide", "fast", "faster", "further",
+    "well", "strong", "higher", "lower",
+}
 
 
 # single-token comma segments that are discourse/temporal adverbials, not
@@ -445,7 +510,9 @@ def _coord_subjects(
         k = s2 - 1
         while k >= 0 and pairs[k][0] in _DETS and not pairs[k][1]:
             k -= 1  # a clause-initial determiner still opens the clause
-        if k < 0 or pairs[k][1]:
+        if k < 0 or pairs[k][1] or pairs[k][0] == "both":
+            # "both" is a span-stopping quantifier ("BOTH acme corp and
+            # nova media acquired …") but still opens its clause
             return [" ".join(span)]
         return []
     # empty span = the token before "and" carries punctuation; an Oxford
@@ -557,6 +624,10 @@ _ZH_OBJ_COORD = re.compile("^[和与及]" + _ZH_ENT + "$")
 # past the 8-char span cap ("昨天李娜在天河科技担任…" → the X担任Y window
 # clips 昨 and yields subject "天李娜")
 _ZH_SERVE_FULL = re.compile(_ZH_ENT + "在" + _ZH_ENT + "担任" + _ZH_ENT)
+# the 3-group X加入Y担任Z form ("王伟加入蓝海集团担任总经理"): without the
+# pre-pass the 2-group patterns garble both spans (the 加入 object absorbs
+# 担任总经, the 担任 subject absorbs 加入蓝海集团)
+_ZH_JOIN_SERVE = re.compile(_ZH_ENT + "加入了?" + _ZH_ENT + "担任" + _ZH_ENT)
 
 
 def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
@@ -581,20 +652,25 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
         if not seg:
             continue
         matched = False
-        for m in _ZH_SERVE_FULL.finditer(seg):
-            subj = _strip_zh_prefixes(m.group(1))
-            org, role = m.group(2), m.group(3)
-            if m.group(1).endswith(_ZH_NEGATORS) or org.endswith(_ZH_NEGATORS):
-                continue  # negated — assert neither edge
-            if subj and subj != org:
-                triples.append((subj, "works at", org, 0.8))
-                matched = True
-                last_subj = subj
-            if subj and subj != role:
-                triples.append((subj, "serves as", role, 0.8))
-                matched = True
-        if matched:
-            seg = _ZH_SERVE_FULL.sub("", seg)
+        for rx, org_pred in ((_ZH_SERVE_FULL, "works at"), (_ZH_JOIN_SERVE, "joined")):
+            saw = False
+            for m in rx.finditer(seg):
+                saw = True  # sub the span even when negated: a leftover
+                # "…加入蓝海集团担任…" tail would otherwise feed the
+                # 2-group patterns a garbage negated subject
+                subj = _strip_zh_prefixes(m.group(1))
+                org, role = m.group(2), m.group(3)
+                if m.group(1).endswith(_ZH_NEGATORS) or org.endswith(_ZH_NEGATORS):
+                    continue  # negated — assert neither edge
+                if subj and subj != org:
+                    triples.append((subj, org_pred, org, 0.8))
+                    matched = True
+                    last_subj = subj
+                if subj and subj != role:
+                    triples.append((subj, "serves as", role, 0.8))
+                    matched = True
+            if saw:
+                seg = rx.sub("", seg)
         for rx, pred, swap in ZH_REL_PATTERNS:
             for m in rx.finditer(seg):
                 if m.group(1).endswith(_ZH_NEGATORS) or m.group(2).endswith(
@@ -779,6 +855,68 @@ def _extract_participial_appositives(
     return "".join(out), triples
 
 
+# parenthetical asides and spaced-dash appositives — "(formerly beta
+# systems)", " - a berlin startup - " — are dropped before tokenization:
+# they are renames/glosses, and left in place they fuse into garbage
+# argument spans ("corp (formerly beta systems)"). Only PAIRED spaced
+# dashes are appositives; hyphenated tokens ("e-commerce") have no spaces
+# and never match.
+_PARENTHETICAL = re.compile(r"\([^()]{0,80}\)")
+_DASH_APPOS = re.compile(r"\s[-–—]\s[^-–—]{1,60}\s[-–—]\s")
+
+# relative clause with an extractable relation: ", who works at X," /
+# ", which is based in berlin." — the head NP left of the comma is the
+# clause's subject. The segment is stripped for the main clause (same
+# effect as _REL_CLAUSE) AND mined for its own triple.
+_REL_CLAUSE_SEG = re.compile(r",\s*(?:who|which|that)\s+([^,]{1,80}?)\s*([,.])")
+
+
+def _clause_head(prefix_text: str) -> list[str]:
+    """Nearest NP left of a comma segment: subject-walk the prefix, then
+    cut at the nearest clause verb (shared with the participial-appositive
+    head logic)."""
+    prefix = prefix_text.split()
+    ppairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix]
+    head, _start = _trim_subj(ppairs, len(ppairs))
+    for k in range(len(head) - 1, -1, -1):
+        if head[k] in _VERB_FORMS or head[k] in _BE:
+            head = head[k + 1 :]
+            break
+    return head
+
+
+def _extract_relative_clauses(
+    sentence: str,
+) -> tuple[str, list[tuple[str, str, str, float]]]:
+    """Emit triples FROM relative clauses (", who works at X") instead of
+    only skipping them: the clause body is re-run through the extractor
+    with the antecedent head NP as subject (recursion depth is 1 — the
+    rewritten pseudo-sentence contains no comma, so this pre-pass cannot
+    re-fire). Only triples anchored on the head (as subject, or as object
+    for an in-clause passive: ", which was acquired by Y") are kept. The
+    segment is then stripped so the main clause reads across it."""
+    triples: list[tuple[str, str, str, float]] = []
+    out: list[str] = []
+    cursor = 0
+    for m in _REL_CLAUSE_SEG.finditer(sentence):
+        if m.start() < cursor:
+            continue
+        head = _clause_head(sentence[: m.start()])
+        if head:
+            head_s = " ".join(head)
+            pseudo = f"{head_s} {m.group(1).strip()}."
+            for t in extract_triples(pseudo, "en"):
+                if head_s in (t[0], t[2]):
+                    triples.append(t)
+        out.append(sentence[cursor : m.start()])
+        out.append(m.group(2) if m.group(2) == "." else " ")
+        cursor = m.end()
+    if cursor == 0:
+        return sentence, triples
+    out.append(sentence[cursor:])
+    return "".join(out), triples
+
+
 def _open_conf(subj_tokens: list[str], obj_tokens: list[str]) -> float:
     return round(
         0.3
@@ -807,7 +945,10 @@ def extract_triples(
     Chinese: bounded regex patterns (``ZH_REL_PATTERNS``)."""
     if lang == "zh":
         return extract_triples_zh(sentence)
+    sentence = _DASH_APPOS.sub(" ", _PARENTHETICAL.sub(" ", sentence))
     sentence, triples = _extract_participial_appositives(sentence)
+    sentence, rel_triples = _extract_relative_clauses(sentence)
+    triples.extend(rel_triples)
     raw = _strip_appositives(_REL_CLAUSE.sub(" ", sentence)).split()
     tokens = [_clean_token(t) for t in raw]
     boundary = [t != t.rstrip(_EDGE_PUNCT) for t in raw]  # trailing punct

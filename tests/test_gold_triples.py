@@ -137,7 +137,9 @@ GOLD = [
     # --- relative-clause subject span ----------------------------------
     ("Priya sharma, who runs vertex analytics, invested in quantum networks.",
      "en",
-     [("priya sharma", "invested in", "quantum networks")], True),
+     [("priya sharma", "invested in", "quantum networks"),
+      ("priya sharma", "runs", "vertex analytics")], True),
+    # round 4: the relative clause now also yields its own triple
     # --- open-domain prose (noun-verb disambiguation) -------------------
     ("The market report shows strong demand.", "en",
      [("market report", "shows", "strong demand")], True),
@@ -465,6 +467,57 @@ GOLD = [
     ("李娜没有参观天河科技。", "zh", [], True),
     # 没有 negation guard extends to the new patterns
     ("张强没创办南山资本。", "zh", [], True),
+    # --- round 4 late additions: parentheticals, report verbs, modals,
+    # negative coordination, relative-clause relations, zh 3-group forms --
+    ("Acme corp (formerly beta systems) acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),  # parenthetical
+    ("Vertex analytics (vta) partnered with nova media.", "en",
+     [("vertex analytics", "partnered with", "nova media")], True),
+    ("Acme corp - a berlin startup - acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),  # dash appositive
+    ("Analysts believe acme corp acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),  # report verb cut
+    ("The ceo said summit biotech merged with apex holdings.", "en",
+     [("summit biotech", "merged with", "apex holdings")], True),
+    ("The ceo denied acme corp acquired iron foods.", "en",
+     [], True),  # denial verb suppresses the embedded assertion
+    ("Regulators disputed nova media acquired iron foods.", "en",
+     [], True),
+    ("Acme corp will acquire iron foods.", "en",
+     [("acme corp", "acquire", "iron foods")], True),  # modal skipped
+    ("Nova media may purchase golden software.", "en",
+     [("nova media", "purchase", "golden software")], True),
+    ("Acme corp did acquire iron foods.", "en",
+     [("acme corp", "acquire", "iron foods")], True),  # do-support
+    ("Both acme corp and nova media acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("nova media", "acquired", "iron foods")], True),  # both-quantifier
+    ("Neither acme corp nor nova media acquired iron foods.", "en",
+     [], True),  # negative coordination suppresses
+    ("Having acquired iron foods, acme corp expanded rapidly.", "en",
+     [], True),  # gerundive lead-in + all-adverb object: no edge either way
+    ("Acme corp, which is based in berlin, acquired iron foods.", "en",
+     [("acme corp", "based in", "berlin"),
+      ("acme corp", "acquired", "iron foods")], True),  # rel-clause triple
+    ('"We are thrilled," said maria lopez, who works at global dynamics.',
+     "en",
+     [("maria lopez", "works at", "global dynamics")], True),
+    ("Acme corp, which was acquired by nova media, supplies golden foods.",
+     "en",
+     [("nova media", "acquired", "acme corp"),
+      ("acme corp", "supplies", "golden foods")], True),  # in-clause passive
+    ("Elena novak, who founded silver motors, joined apex holdings.", "en",
+     [("elena novak", "founded", "silver motors"),
+      ("elena novak", "joined", "apex holdings")], True),
+    ("李娜举办了发布会。", "zh",
+     [("李娜", "hosted", "发布会")], True),  # promoted (round 4 late)
+    ("天河科技与蓝海集团签署了合作协议。", "zh",
+     [("天河科技", "partnered with", "蓝海集团")], True),
+    ("王伟加入蓝海集团担任总经理。", "zh",
+     [("王伟", "joined", "蓝海集团"),
+      ("王伟", "serves as", "总经理")], True),  # 3-group 加入…担任
+    ("王伟没加入蓝海集团担任总经理。", "zh", [], True),  # negated 3-group
+    ("李娜没举办发布会。", "zh", [], True),
 ]
 
 
@@ -516,10 +569,14 @@ def test_round2_limitations_promoted():
     assert extract_triples(
         "Silver motors was founded by elena novak.", "en"
     )[0][:3] == ("elena novak", "founded", "silver motors")
-    assert extract_triples(
-        "Priya sharma, who runs vertex analytics, invested in quantum networks.",
-        "en",
-    )[0][:3] == ("priya sharma", "invested in", "quantum networks")
+    assert ("priya sharma", "invested in", "quantum networks") in {
+        t[:3]
+        for t in extract_triples(
+            "Priya sharma, who runs vertex analytics, invested in"
+            " quantum networks.",
+            "en",
+        )
+    }
     assert extract_triples("蓝海集团与星辰软件合作。", "zh")[0][:3] == (
         "蓝海集团", "partnered with", "星辰软件",
     )
@@ -550,9 +607,9 @@ def test_known_limitations_are_pinned():
             "Acme corp acquired iron foods, golden software.", "en"
         )
     ] == [("acme corp", "acquired", "iron foods")]
-    # zh: verbs outside ZH_REL_PATTERNS (举办 "hosted") are not extracted
-    # (参观/访问/创办/发布/开发/聘用 were promoted in round 4)
-    assert extract_triples("李娜举办了发布会。", "zh") == []
+    # zh: verbs outside ZH_REL_PATTERNS (考察 "inspected") are not extracted
+    # (参观/访问/创办/发布/开发/聘用, then 举办/签署, promoted in round 4)
+    assert extract_triples("李娜考察了天河科技。", "zh") == []
 
 
 def test_round3_coordination_promoted():
