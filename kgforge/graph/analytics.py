@@ -160,11 +160,17 @@ def triangle_counts(edges_df: DataFrame, k: int = 20) -> DataFrame:
         und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
         .join(deg.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")
     )
+    # the oriented edge set feeds THREE plan branches (both wedge sides +
+    # the closing join); materialize it once — without this the whole
+    # degree-attach pipeline re-executes per branch (observed 3× recompute,
+    # 24 sort-merge joins in one plan at bench scale). Size is exactly |E|:
+    # the same bounded footprint any production triangle count materializes
+    # for its oriented adjacency.
     oriented = keyed.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("khi"),
-    )
+    ).localCheckpoint()
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(
         w2,
@@ -197,9 +203,14 @@ def label_propagation(
     min); after ``iterations`` rounds, community sizes top-k by
     (size desc, community asc). Columns: community, size."""
     und = _undirected(edges_df)
+    # pre-partition the (static) neighbor table by the per-round join key
+    # and materialize: localCheckpoint preserves the partitioning, so each
+    # of the ``iterations`` joins reuses it instead of re-shuffling the big
+    # side every round (only the small per-round label table moves)
     nbrs = (
         und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .repartition("nbr")
         .localCheckpoint()
     )
     labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))

@@ -619,7 +619,11 @@ def ngram_jaccard_verified_pairs(docs: DataFrame) -> DataFrame:
     37.9s to the prefix-filtered time in BENCH.md). ceil(0.6·sz) is
     computed in integer arithmetic ((3·sz + 4) div 5) so both engines
     agree exactly."""
-    sh = _shingles(docs)
+    # the shingle table feeds FIVE plan branches (sizes, df, prefix, and
+    # both sides of the intersection join); materialize it once instead of
+    # re-running the scan + shingling pipeline per branch (round-4 bench:
+    # the unbounded sf0.1 phase dropped ~40% from this + the length filter)
+    sh = _shingles(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -647,6 +651,20 @@ def ngram_jaccard_verified_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2"))
         .distinct()
     )
+    # length filter (AllPairs): J ≥ 0.6 forces 0.6·max(sz1,sz2) ≤
+    # min(sz1,sz2) — prune size-incompatible candidates BEFORE the
+    # expensive intersection join ships their full shingle sets
+    za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    cand = (
+        cand.join(za, "d1")
+        .join(zb, "d2")
+        .where(
+            F.least("sz1", "sz2") * F.lit(5)
+            >= F.greatest("sz1", "sz2") * F.lit(3)
+        )
+        .select("d1", "d2")
+    )
     sa = sh.select(F.col("doc_id").alias("d1"), "shingle")
     sb = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -655,8 +673,6 @@ def ngram_jaccard_verified_pairs(docs: DataFrame) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
     jac = (
         inter.join(za, "d1")
         .join(zb, "d2")
