@@ -214,7 +214,7 @@ def label_propagation(
         .localCheckpoint()
     )
     labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
-    for _ in range(iterations):
+    for it in range(iterations):
         nbr_labels = nbrs.join(
             labels.withColumnRenamed("node", "nbr").withColumnRenamed(
                 "label", "nbr_label"
@@ -233,8 +233,12 @@ def label_propagation(
                 )
             )
             .select("node", F.col("best.nbr_label").alias("label"))
-            .localCheckpoint()
         )
+        # truncate lineage every OTHER round: per-round eager checkpoints
+        # pay one Spark job each, fully-lazy chaining grows the plan —
+        # the measured sweet spot is the middle (BENCH.md round 4)
+        if it % 2 == 1 or it == iterations - 1:
+            labels = labels.localCheckpoint()
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))

@@ -610,6 +610,16 @@ def test_known_limitations_are_pinned():
     # zh: verbs outside ZH_REL_PATTERNS (考察 "inspected") are not extracted
     # (参观/访问/创办/发布/开发/聘用, then 举办/签署, promoted in round 4)
     assert extract_triples("李娜考察了天河科技。", "zh") == []
+    # predicate coordination with an elided subject stays un-extracted:
+    # borrowing the subject across "and" is indistinguishable from a new
+    # clause without POS context ("… and nova media acquired …"), so only
+    # the first predicate fires (conservative by design)
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods and launched a new service.", "en"
+        )
+    ] == [("acme corp", "acquired", "iron foods")]
 
 
 def test_round3_coordination_promoted():
