@@ -122,3 +122,74 @@ def test_windowed_counts(spark, tmp_path):
     # append mode emits only watermark-closed windows; fixture spans 90 days
     # so nearly all windows close
     assert got.count() > 0
+
+
+def test_stream_upsert_edge_latest_matches_batch_and_is_replay_safe(
+    spark, tmp_path
+):
+    """The incrementally-maintained latest-wins edge state (multi-batch
+    merge) must equal the batch aggregation over all docs, and replaying
+    the stream against the same state dir (fresh checkpoint → batch ids
+    restart) must not change it (exactly-once merge)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kgforge.stages.canonicalize import rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+    from kgforge.streaming.ingest import (
+        read_edge_latest_state,
+        stream_upsert_edge_latest,
+    )
+
+    fx = str(tmp_path / "fx4")
+    webdocs_path, alias_path = write_fixture_tables(spark, fx, 80, partitions=3)
+    amap_path = str(tmp_path / "alias_map4")
+    alias_resolution(spark.read.parquet(alias_path)).write.parquet(amap_path)
+
+    state, ckpt = str(tmp_path / "estate"), str(tmp_path / "eckpt4")
+    q = stream_upsert_edge_latest(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    # multiple micro-batches actually merged
+    versions = [d for d in os.listdir(state) if d.startswith("state_v")]
+    assert len(versions) >= 2
+
+    def rows(df):
+        return sorted(
+            (r["subj_id"], r["pred"], r["obj_id"], r["n"],
+             r["last"]["ts"], r["last"]["url"])
+            for r in df.collect()
+        )
+
+    got = rows(read_edge_latest_state(spark, state))
+    mention_map = spark.read.parquet(amap_path).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    batch = (
+        rewrite_triples(
+            extract_docstream(spark.read.parquet(webdocs_path)), mention_map
+        )
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.struct(F.col("warc_ts").cast("long").alias("ts"), F.col("url"))
+            ).alias("last"),
+        )
+    )
+    assert got == rows(batch)
+    assert len(got) > 0
+
+    # replay: fresh checkpoint re-delivers every batch with restarted ids —
+    # all ids ≤ _LATEST, so each merge is skipped and the state is unchanged
+    state_digest = hashlib.md5(repr(got).encode()).hexdigest()
+    q2 = stream_upsert_edge_latest(
+        spark, webdocs_path, amap_path, state, str(tmp_path / "eckpt4b"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+    replayed = rows(read_edge_latest_state(spark, state))
+    assert hashlib.md5(repr(replayed).encode()).hexdigest() == state_digest
