@@ -415,6 +415,27 @@ def _kg_edge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_latest(_kg_day_edges(spark, sf_dir))
 
 
+def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component sizes of the canonical entity graph (J7 as a
+    first-class contract query): graph.cc.connected_components (adaptive —
+    driver union-find below 200k distinct edges, alternating large/small-
+    star rounds above; both paths pytest-gated), top-20 components by
+    (size desc, component asc). Oracle: expected twin (independent
+    union-find in kgforge.fixtures.expected)."""
+    from kgforge.graph.cc import connected_components
+
+    edges = _kg_day_edges(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    labels = connected_components(edges)
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("component"))
+        .limit(20)
+    )
+
+
 def _kg_pred_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate canonicalization (extract.predicates): lemma + synonym
     collapse computed on the DISTINCT predicate set driver-side and
@@ -483,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_edge_latest": _kg_edge_latest,
         "kg_pred_canon": _kg_pred_canon,
+        "kg_components": _kg_components,
     }
     from kgforge.queries import QUERIES
 

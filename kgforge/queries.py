@@ -1240,7 +1240,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "deterministic_split": q_deterministic_split,
     "pricing_summary": q_pricing_summary,
-    "revenue_topk": q_revenue_topk,
     "distinct_dense_ids": q_distinct_dense_ids,
     "class_weights": q_class_weights,
     "confusion_report": q_confusion_report,
@@ -1272,6 +1271,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (knn_label_vote / ivf_ann_topk / embedding_near_dup → ann_cosine_topk
     # + lsh_bucketed_ann + the near-dup quartet; multimodal_meta →
     # kg_media_meta), and the generic analytic extra (daily_retention).
+    "revenue_topk": q_revenue_topk,  # top-k ordering also evidenced by
+    # every kg_*_topk query (kg_edges_topk is the flagship)
     "union_distinct": q_union_distinct,
     "token_accuracy": q_token_accuracy,
     "max_seq_len": q_max_seq_len,

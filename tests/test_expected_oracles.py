@@ -49,6 +49,7 @@ def _spark_rows(df) -> set[tuple]:
         "kg_communities",
         "kg_edge_latest",
         "kg_pred_canon",
+        "kg_components",
     ],
 )
 def test_spark_matches_expected_parquet(spark, expected_paths, name):
