@@ -436,6 +436,27 @@ def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the canonical entity graph (graph.analytics.kcore —
+    driver-side peel fixpoint, cc/pagerank pattern): surviving nodes by
+    in-core degree, top-20. Oracle: expected twin (pure-python peel)."""
+    from kgforge.graph.analytics import kcore
+
+    return kcore(_kg_day_edges(spark, sf_dir))
+
+
+def _kg_sameas_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates from graph context
+    (graph.analytics.sameas_candidates): entity pairs with neighborhood
+    Jaccard ≥ 0.5 — sameAs suspects the alias dictionary missed. Wedge
+    generation through degree-capped mids (the hot entity cannot detonate
+    the join), exact verify over the full adjacency. Oracle: expected
+    twin."""
+    from kgforge.graph.analytics import sameas_candidates
+
+    return sameas_candidates(_kg_day_edges(spark, sf_dir))
+
+
 def _kg_pred_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate canonicalization (extract.predicates): lemma + synonym
     collapse computed on the DISTINCT predicate set driver-side and
@@ -505,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_latest": _kg_edge_latest,
         "kg_pred_canon": _kg_pred_canon,
         "kg_components": _kg_components,
+        "kg_kcore": _kg_kcore,
+        "kg_sameas_candidates": _kg_sameas_candidates,
     }
     from kgforge.queries import QUERIES
 

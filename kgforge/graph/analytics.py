@@ -247,6 +247,124 @@ def label_propagation(
     )
 
 
+def kcore(edges_df: DataFrame, k: int = 3, top: int = 20, max_iter: int = 40) -> DataFrame:
+    """k-core of the undirected distinct graph: iteratively peel nodes of
+    degree < k until a fixpoint; top nodes of the surviving core by
+    (in-core degree desc, node asc). Columns: node, degree.
+
+    Driver-side fixpoint over DataFrame rounds (the cc/pagerank pattern):
+    each round is one degree aggregation + one semi-join filter of the
+    edge set, ``localCheckpoint``-truncated; converges in O(peel depth)
+    rounds (bounded by ``max_iter`` with a loud failure, same discipline
+    as graph.cc)."""
+    e = _undirected(edges_df).localCheckpoint()
+    prev = e.count()
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n = e.count()
+        if n == prev:
+            break
+        prev = n
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_iter} peel rounds")
+    core_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return core_deg.orderBy(F.desc("degree"), F.asc("node")).limit(top)
+
+
+# candidate-generation cap for sameAs mining: a mid node of degree d fans
+# out d·(d-1)/2 candidate pairs — one crawl-scale hub would dominate the
+# join quadratically, exactly like a boilerplate shingle in set-similarity
+# joins. Mids above the cap are excluded from candidate GENERATION (the
+# standard frequent-token filter; a pair is missed only if EVERY shared
+# neighbor is that hot — documented recall tradeoff), while the verify
+# step still counts intersections over the FULL adjacency.
+SAMEAS_MID_DEGREE_CAP = 64
+
+
+def sameas_candidates(
+    edges_df: DataFrame,
+    threshold: float = 0.5,
+    top: int = 20,
+    mid_cap: int = SAMEAS_MID_DEGREE_CAP,
+) -> DataFrame:
+    """Entity-resolution candidates from GRAPH CONTEXT: entity pairs whose
+    undirected neighborhoods overlap (Jaccard ≥ threshold) are sameAs
+    suspects the dictionary missed — the KG-side complement of the
+    alias-based linker. Columns: e1, e2, jaccard (e1 < e2).
+
+    Plan: wedge candidate generation through capped-degree mid nodes (one
+    self-join keyed on the mid), then exact |N(a)∩N(b)| via a count over
+    shared mids of the candidate pairs, sizes broadcast back. Jaccard is
+    rounded to 6 decimals for a stable typed compare."""
+    und = _undirected(edges_df)
+    nbrs = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    sizes = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("sz"))
+    mid_deg = nbrs.groupBy("nbr").agg(F.count(F.lit(1)).alias("mid_deg"))
+    capped = nbrs.join(
+        mid_deg.where(F.col("mid_deg") <= mid_cap).select("nbr"), "nbr", "left_semi"
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .select(F.col("a.node").alias("e1"), F.col("b.node").alias("e2"))
+        .distinct()
+    )
+    # verify step: EXACT intersection over the FULL adjacency (the cap only
+    # gates candidate generation — same generate-capped/verify-exact split
+    # as the shingle dedup pipeline)
+    na = nbrs.select(F.col("node").alias("e1"), "nbr")
+    nb = nbrs.select(F.col("node").alias("e2"), "nbr")
+    inter = (
+        cand.join(na, "e1")
+        .join(nb, ["e2", "nbr"])
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("node").alias("e1"), F.col("sz").alias("sz1"))
+    zb = sizes.select(F.col("node").alias("e2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(za, "e1")
+        .join(zb, "e2")
+        .select(
+            "e1",
+            "e2",
+            F.round(
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy(F.desc("jaccard"), F.asc("e1"), F.asc("e2"))
+        .limit(top)
+    )
+
+
 def edge_latest(edges_df: DataFrame, k: int = 20) -> DataFrame:
     """Latest-wins edge attribution (the batch analog of a streaming edge
     upsert): per (subj_id, pred, obj_id) the assertion count, the latest

@@ -50,6 +50,8 @@ def _spark_rows(df) -> set[tuple]:
         "kg_edge_latest",
         "kg_pred_canon",
         "kg_components",
+        "kg_kcore",
+        "kg_sameas_candidates",
     ],
 )
 def test_spark_matches_expected_parquet(spark, expected_paths, name):

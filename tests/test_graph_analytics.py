@@ -17,7 +17,9 @@ from kgforge.extract.predicates import canonicalize_pred, canonicalize_predicate
 from kgforge.graph.analytics import (
     edge_latest,
     entity_profile,
+    kcore,
     label_propagation,
+    sameas_candidates,
     triangle_counts,
     two_hop_reach,
     two_hop_reach_approx,
@@ -131,6 +133,64 @@ def test_label_propagation_hand(spark):
     ]
     got = [tuple(r) for r in label_propagation(_edges(spark, rows)).collect()]
     assert got == [("a", 5)]
+
+
+def test_kcore_hand(spark):
+    """K4 {a,b,c,d} + pendant chain d-e-f: the 3-core is exactly the K4
+    (e peels first at degree 2, then f is isolated and peels too)."""
+    rows = [
+        ("a", "p", "b", "u", 0, "d"), ("a", "p", "c", "u", 0, "d"),
+        ("a", "p", "d", "u", 0, "d"), ("b", "p", "c", "u", 0, "d"),
+        ("b", "p", "d", "u", 0, "d"), ("c", "p", "d", "u", 0, "d"),
+        ("d", "p", "e", "u", 0, "d"), ("e", "p", "f", "u", 0, "d"),
+    ]
+    got = {r["node"]: r["degree"] for r in kcore(_edges(spark, rows)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_empty_result(spark):
+    # a plain triangle has no 4-core
+    rows = [
+        ("a", "p", "b", "u", 0, "d"), ("b", "p", "c", "u", 0, "d"),
+        ("a", "p", "c", "u", 0, "d"),
+    ]
+    assert kcore(_edges(spark, rows), k=4).collect() == []
+
+
+def test_sameas_candidates_hand(spark):
+    """x and y share neighbors {m1, m2} and have no others: Jaccard 1.0.
+    Symmetrically m1/m2 share {x, y} (m1 also sees z): J = 2/3. z shares
+    only m1 with x/y: J(x,z) = 1/3 < 0.5 — filtered."""
+    rows = [
+        ("x", "p", "m1", "u", 0, "d"), ("x", "p", "m2", "u", 0, "d"),
+        ("y", "p", "m1", "u", 0, "d"), ("y", "p", "m2", "u", 0, "d"),
+        ("z", "p", "m1", "u", 0, "d"), ("z", "p", "q", "u", 0, "d"),
+    ]
+    got = [
+        (r["e1"], r["e2"], r["jaccard"])
+        for r in sameas_candidates(_edges(spark, rows)).collect()
+    ]
+    assert got == [("x", "y", 1.0), ("m1", "m2", 0.666667)]
+
+
+def test_sameas_hot_mid_capped(spark):
+    """A mid node above the degree cap generates NO candidates through
+    itself: pairs sharing only the hub are dropped (documented recall
+    tradeoff), pairs with another sub-cap shared neighbor survive with the
+    EXACT Jaccard counted over the full adjacency including the hub."""
+    rows = [("hub", "p", f"n{i}", "u", 0, "d") for i in range(70)]
+    rows += [
+        ("n0", "p", "m", "u", 0, "d"),
+        ("n1", "p", "m", "u", 0, "d"),
+    ]
+    got = [
+        (r["e1"], r["e2"], r["jaccard"])
+        for r in sameas_candidates(_edges(spark, rows), threshold=0.2).collect()
+    ]
+    # n0/n1 found via m; their full neighborhoods are {hub, m} both → J=1.0.
+    # n2..n69 pairs share only the capped hub → absent despite J=1.0; the
+    # (hub, m) wedge pair through sub-cap mids fails the threshold (2/70).
+    assert got == [("n0", "n1", 1.0)]
 
 
 def test_edge_latest_hand(spark):
