@@ -29,6 +29,12 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="output dir")
     ap.add_argument("--backend", default="mock", choices=["mock", "onnx"])
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--analytics",
+        action="store_true",
+        help="also materialize serving-side graph tables (entity profiles,"
+        " LPA communities, canonical-predicate edges)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -54,6 +60,7 @@ def main() -> int:
     results = run_pipeline(
         spark, webdocs_path, alias_path, out,
         backend=args.backend, resume=not args.no_resume,
+        analytics=args.analytics,
     )
     for name, df in results.items():
         print(f"{name:12s} rows={df.count()}")

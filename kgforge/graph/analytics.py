@@ -34,13 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def entity_profile(edges_day_df: DataFrame, k: int = 20) -> DataFrame:
-    """Per-entity activity profile over the assertion stream (NOT distinct
-    edges — a profile counts assertions): out/in edge counts, distinct
-    predicate count, first/last crawl day; top-k by total activity.
-
-    Columns: node, out_edges, in_edges, n_preds, first_day, last_day.
-    """
+def entity_profile_table(edges_day_df: DataFrame) -> DataFrame:
+    """FULL per-entity activity profile over the assertion stream (NOT
+    distinct edges — a profile counts assertions): out/in edge counts,
+    distinct predicate count, first/last crawl day. Unordered — this is
+    the materialization shape (the pipeline's ``entity_profile`` stage);
+    ``entity_profile`` below adds the top-k presentation."""
     roles = edges_day_df.select(
         F.col("subj_id").alias("node"), "pred", "day", F.lit(1).alias("is_out")
     ).unionAll(
@@ -48,14 +47,19 @@ def entity_profile(edges_day_df: DataFrame, k: int = 20) -> DataFrame:
             F.col("obj_id").alias("node"), "pred", "day", F.lit(0).alias("is_out")
         )
     )
-    prof = roles.groupBy("node").agg(
+    return roles.groupBy("node").agg(
         F.sum("is_out").alias("out_edges"),
         F.sum(1 - F.col("is_out")).alias("in_edges"),
         F.count_distinct("pred").alias("n_preds"),
         F.min("day").alias("first_day"),
         F.max("day").alias("last_day"),
     )
-    return prof.orderBy(
+
+
+def entity_profile(edges_day_df: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k entity profiles by total activity (see entity_profile_table).
+    Columns: node, out_edges, in_edges, n_preds, first_day, last_day."""
+    return entity_profile_table(edges_day_df).orderBy(
         F.desc(F.col("out_edges") + F.col("in_edges")), F.asc("node")
     ).limit(k)
 
@@ -194,14 +198,15 @@ def triangle_counts(edges_df: DataFrame, k: int = 20) -> DataFrame:
     return per_node.orderBy(F.desc("n_triangles"), F.asc("node")).limit(k)
 
 
-def label_propagation(
-    edges_df: DataFrame, iterations: int = 5, k: int = 20
+def label_propagation_labels(
+    edges_df: DataFrame, iterations: int = 5
 ) -> DataFrame:
     """Deterministic synchronous label propagation on the undirected
     distinct graph: every node starts as its own label; each round a node
     adopts its neighborhood's most frequent label (ties → lexicographic
-    min); after ``iterations`` rounds, community sizes top-k by
-    (size desc, community asc). Columns: community, size."""
+    min). Returns the FULL (node, label) assignment — the materialization
+    shape (pipeline's ``communities`` stage); ``label_propagation`` below
+    presents community sizes."""
     und = _undirected(edges_df)
     # pre-partition the (static) neighbor table by the per-round join key
     # and materialize: localCheckpoint preserves the partitioning, so each
@@ -239,8 +244,17 @@ def label_propagation(
         # the measured sweet spot is the middle (BENCH.md round 4)
         if it % 2 == 1 or it == iterations - 1:
             labels = labels.localCheckpoint()
+    return labels
+
+
+def label_propagation(
+    edges_df: DataFrame, iterations: int = 5, k: int = 20
+) -> DataFrame:
+    """Community sizes top-k by (size desc, community asc) from
+    label_propagation_labels. Columns: community, size."""
     return (
-        labels.groupBy(F.col("label").alias("community"))
+        label_propagation_labels(edges_df, iterations)
+        .groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.desc("size"), F.asc("community"))
         .limit(k)

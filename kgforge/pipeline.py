@@ -30,8 +30,12 @@ def run_pipeline(
     out_dir: str,
     backend: str = "mock",
     resume: bool = True,
+    analytics: bool = False,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full pipeline; returns the output DataFrames."""
+    """Run (or resume) the full pipeline; returns the output DataFrames.
+    ``analytics=True`` additionally materializes the serving-side graph
+    tables (entity profiles, LPA community labels, canonical-predicate
+    edges) as resumable stages."""
     os.makedirs(out_dir, exist_ok=True)
     manifests: list[dict] = []
     results: dict[str, DataFrame] = {}
@@ -64,13 +68,29 @@ def run_pipeline(
     mention_map = alias_map.select(
         F.col("alias").alias("mention"), "canon_id"
     )
-    stage(
+    edges = stage(
         "edges",
         lambda: (
             edges_with_day(rewrite_triples(trip, mention_map)),
             ["day"],
         ),
     )
+
+    if analytics:
+        # serving-side graph tables over the materialized edges — full
+        # (unordered) shapes; the top-k contract queries present them
+        from kgforge.extract.predicates import canonicalize_predicates
+        from kgforge.graph.analytics import (
+            entity_profile_table,
+            label_propagation_labels,
+        )
+
+        stage("entity_profile", lambda: (entity_profile_table(edges), None))
+        stage("communities", lambda: (label_propagation_labels(edges), None))
+        stage(
+            "edges_canon_pred",
+            lambda: (canonicalize_predicates(edges), ["day"]),
+        )
 
     tables.write_lineage_table(
         spark, manifests, os.path.join(out_dir, "lineage")
