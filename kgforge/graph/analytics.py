@@ -338,26 +338,44 @@ def sameas_candidates(
     capped = nbrs.join(
         mid_deg.where(F.col("mid_deg") <= mid_cap).select("nbr"), "nbr", "left_semi"
     )
+    # EXACT intersection without ever joining candidates against the full
+    # adjacency (cand × N(e1) exploded at bench scale): every shared
+    # neighbor is either sub-cap — counted directly by the wedge join
+    # (adjacency rows are distinct, so groupBy-count = # shared sub-cap
+    # mids) — or hot, counted by a join against the HOT-ONLY adjacency
+    # whose per-pair fan-out is bounded by the (small) hot-mid count.
     a, b = capped.alias("a"), capped.alias("b")
-    cand = (
+    inter_lo = (
         a.join(
             b,
             (F.col("a.nbr") == F.col("b.nbr"))
             & (F.col("a.node") < F.col("b.node")),
         )
-        .select(F.col("a.node").alias("e1"), F.col("b.node").alias("e2"))
-        .distinct()
+        .groupBy(F.col("a.node").alias("e1"), F.col("b.node").alias("e2"))
+        .agg(F.count(F.lit(1)).alias("inter_lo"))
+        .localCheckpoint()
     )
-    # verify step: EXACT intersection over the FULL adjacency (the cap only
-    # gates candidate generation — same generate-capped/verify-exact split
-    # as the shingle dedup pipeline)
-    na = nbrs.select(F.col("node").alias("e1"), "nbr")
-    nb = nbrs.select(F.col("node").alias("e2"), "nbr")
-    inter = (
-        cand.join(na, "e1")
-        .join(nb, ["e2", "nbr"])
+    hot_nbrs = nbrs.join(
+        mid_deg.where(F.col("mid_deg") > mid_cap).select("nbr"), "nbr", "left_semi"
+    )
+    ha = hot_nbrs.select(F.col("node").alias("e1"), "nbr")
+    hb = hot_nbrs.select(F.col("node").alias("e2"), "nbr")
+    inter_hot = (
+        inter_lo.select("e1", "e2")
+        .join(ha, "e1")
+        .join(hb, ["e2", "nbr"])
         .groupBy("e1", "e2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter_hot"))
+    )
+    inter = (
+        inter_lo.join(inter_hot, ["e1", "e2"], "left")
+        .select(
+            "e1",
+            "e2",
+            (
+                F.col("inter_lo") + F.coalesce(F.col("inter_hot"), F.lit(0))
+            ).alias("inter"),
+        )
     )
     za = sizes.select(F.col("node").alias("e1"), F.col("sz").alias("sz1"))
     zb = sizes.select(F.col("node").alias("e2"), F.col("sz").alias("sz2"))
