@@ -326,22 +326,36 @@ def _trim_subj(
     of the span's first token)."""
     out: list[str] = []
     started = False
+    skipped_temporal = False
     start = hi
     j = hi - 1
     while j >= 0:
         tok, trailing_punct = pairs[j]
-        if (
-            not started
-            and (tok in _AUX or tok in _REL_ADVERBS)
-            and not trailing_punct
-        ):
-            j -= 1  # "X is located in", "X has acquired", "X officially merged"
-            continue
+        if not started and not trailing_punct:
+            if tok in _AUX or tok in _REL_ADVERBS:
+                j -= 1  # "X is located in", "X has acquired", "X officially merged"
+                continue
+            if tok in _SENT_ADVERBS:
+                # relation-adjacent temporal adverbial: "X on monday
+                # acquired …" — skip it, and remember to skip its
+                # preposition next
+                skipped_temporal = True
+                j -= 1
+                continue
+            if skipped_temporal and tok in {"on", "in", "at", "last", "this", "next"}:
+                skipped_temporal = False
+                j -= 1  # the "on" of the skipped "on monday"
+                continue
         started = True
         if tok in _SPAN_SUPPRESSORS:
             # denial / negative coordination crossed: no edge at all
             return [], hi
         if tok in _STOPWORDS or tok in _REPORT_VERBS or not tok or trailing_punct:
+            break
+        if tok.endswith("'s") or tok.endswith("s'"):
+            # possessive determiner closes the span on its right: "acme
+            # corp's ceo maria lopez joined …" — the subject is the head
+            # NP, never "…corp's ceo …"
             break
         out.append(tok)
         start = j
@@ -773,14 +787,17 @@ def _is_participle(tok: str) -> bool:
     )
 
 
-# reduced-passive appositive: ", founded by elena novak," (also clause-
-# final: ", founded by elena novak.") — a verb-bearing segment, so the
-# generic _APPOSITIVE strip correctly keeps it, but it still blocks the
-# main clause (the comma is a clause boundary for the subject trim) AND
-# carries its own relation. _extract_participial_appositives emits the
-# passive-normalized triple (agent, V-ed, head NP left of the comma) and
-# removes the segment so the main clause extracts normally.
-_PART_APPOS = re.compile(r",\s*([A-Za-z]+)\s+by\s+([^,.]+)([,.])")
+# reduced-passive/locative appositive: ", founded by elena novak," /
+# ", based in berlin," (also clause-final) — a verb-bearing segment, so
+# the generic _APPOSITIVE strip correctly keeps it, but it still blocks
+# the main clause (the comma is a clause boundary for the subject trim)
+# AND carries its own relation. _extract_participial_appositives emits
+# the triple — passive-normalized (agent, V-ed, head) for "by", or
+# (head, "V-ed P", obj) for a locative preposition — and removes the
+# segment so the main clause extracts normally.
+_PART_APPOS = re.compile(
+    r",\s*([A-Za-z]+)\s+(by|in|at|on|near|from)\s+([^,.]+)([,.])"
+)
 
 
 def _extract_participial_appositives(
@@ -823,19 +840,31 @@ def _extract_participial_appositives(
                 if head[k] in _VERB_FORMS or head[k] in _BE:
                     head = head[k + 1 :]
                     break
-        agent_raw = m.group(2).split()
-        apairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in agent_raw]
-        agent_tokens, _aend, _astop = _trim_obj(apairs, 0)
-        if head and agent_tokens:
-            triples.append(
-                (
-                    " ".join(agent_tokens),
-                    part,
-                    " ".join(head),
-                    _open_conf(agent_tokens, head),
+        prep = m.group(2)
+        arg_raw = m.group(3).split()
+        apairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in arg_raw]
+        arg_tokens, _aend, _astop = _trim_obj(apairs, 0)
+        if head and arg_tokens:
+            if prep == "by":
+                # reduced passive: agent after "by" — active normalization
+                triples.append(
+                    (
+                        " ".join(arg_tokens),
+                        part,
+                        " ".join(head),
+                        _open_conf(arg_tokens, head),
+                    )
                 )
-            )
-            spans.append((m.start(), m.end(), m.group(3)))
+            else:
+                triples.append(
+                    (
+                        " ".join(head),
+                        f"{part} {prep}",
+                        " ".join(arg_tokens),
+                        _open_conf(head, arg_tokens),
+                    )
+                )
+            spans.append((m.start(), m.end(), m.group(4)))
             head_tokens = head
             prev_end = m.end()
         pos = m.end() - 1  # shared comma may open the next stacked segment
@@ -954,11 +983,14 @@ def extract_triples(
         sentence = _DASH_APPOS.sub(" ", sentence)
     triples: list[tuple[str, str, str, float]] = []
     if "," in sentence:
-        if " by " in sentence:
-            sentence, triples = _extract_participial_appositives(sentence)
+        # relative clauses FIRST: after ", who runs X," is stripped, the
+        # main verb phrase no longer follows a comma, so the participial
+        # scan below cannot mistake it for an appositive segment
         if ", wh" in sentence or ", that" in sentence:
             sentence, rel_triples = _extract_relative_clauses(sentence)
             triples.extend(rel_triples)
+        sentence, part_triples = _extract_participial_appositives(sentence)
+        triples.extend(part_triples)
         raw = _strip_appositives(_REL_CLAUSE.sub(" ", sentence)).split()
     else:
         raw = sentence.split()

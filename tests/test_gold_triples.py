@@ -518,6 +518,27 @@ GOLD = [
       ("王伟", "serves as", "总经理")], True),  # 3-group 加入…担任
     ("王伟没加入蓝海集团担任总经理。", "zh", [], True),  # negated 3-group
     ("李娜没举办发布会。", "zh", [], True),
+    # --- round 4 final batch: possessives, locative appositives,
+    # subject-adjacent temporal PPs ---------------------------------------
+    ("Acme corp's ceo maria lopez joined apex holdings.", "en",
+     [("ceo maria lopez", "joined", "apex holdings")], True),  # possessive cut
+    ("Acme corp, based in berlin, acquired iron foods.", "en",
+     [("acme corp", "based in", "berlin"),
+      ("acme corp", "acquired", "iron foods")], True),  # locative appositive
+    ("Acme corp, founded in 2004, acquired iron foods.", "en",
+     [("acme corp", "founded in", "2004"),
+      ("acme corp", "acquired", "iron foods")], True),
+    ("Iron foods, founded by maria lopez, based in berlin, supplies"
+     " golden foods.", "en",
+     [("maria lopez", "founded", "iron foods"),
+      ("iron foods", "based in", "berlin"),
+      ("iron foods", "supplies", "golden foods")], True),  # mixed stack
+    ("Acme corp on monday acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),  # temporal PP skipped
+    ("Acme corp in january acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Maria lopez, 42, joined apex holdings.", "en",
+     [("maria lopez", "joined", "apex holdings")], True),  # age appositive
 ]
 
 
@@ -610,6 +631,13 @@ def test_known_limitations_are_pinned():
     # zh: verbs outside ZH_REL_PATTERNS (考察 "inspected") are not extracted
     # (参观/访问/创办/发布/开发/聘用, then 举办/签署, promoted in round 4)
     assert extract_triples("李娜考察了天河科技。", "zh") == []
+    # NP-internal "of" heads are not resolved: "Shares of acme corp rose
+    # 4 percent" reads the PP complement as subject (the true subject is
+    # the matrix NP "shares") — needs real NP parsing, pinned as-is
+    assert [
+        t[:3]
+        for t in extract_triples("Shares of acme corp rose 4 percent.", "en")
+    ] == [("acme corp", "rose", "4 percent")]
     # predicate coordination with an elided subject stays un-extracted:
     # borrowing the subject across "and" is indistinguishable from a new
     # clause without POS context ("… and nova media acquired …"), so only
