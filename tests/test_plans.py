@@ -93,3 +93,46 @@ def test_scan_prunes_binary_column_in_docstream(spark, tmp_path):
     docs.withColumn("rawpayload", F.encode("text", "utf-8")).write.parquet(path)
     plan = _plan(extract_docstream(spark.read.parquet(path)))
     assert "rawpayload" not in plan  # pruned at the scan
+
+
+def _kg_edges(spark, n=50):
+    from kgforge.stages.canonicalize import edges_with_day
+
+    docs, alias_df = _fixture(spark, n)
+    mmap = alias_resolution(alias_df).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    return edges_with_day(rewrite_triples(extract_docstream(docs), mmap))
+
+
+def test_entity_profile_is_single_shuffle_no_joins(spark, tmp_path):
+    """The profile rollup OVER A MATERIALIZED EDGE TABLE (the serving
+    shape — upstream rewrite joins are not part of this stage) is a union
+    of role projections + one grouped aggregation: no joins of any kind;
+    the only exchanges are the aggregation's hash partitioning (+ the
+    top-k's single-partition sort)."""
+    from kgforge.graph.analytics import entity_profile
+
+    path = str(tmp_path / "edges_pq")
+    _kg_edges(spark).write.parquet(path)
+    plan = _plan(entity_profile(spark.read.parquet(path)))
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
+def test_triangles_plan_has_no_cartesian(spark):
+    from kgforge.graph.analytics import triangle_counts
+
+    plan = _plan(triangle_counts(_kg_edges(spark)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_hop_sketch_plan_uses_hll_no_cartesian(spark):
+    from kgforge.graph.analytics import two_hop_reach_approx
+
+    plan = _plan(two_hop_reach_approx(_kg_edges(spark)))
+    assert "hll" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

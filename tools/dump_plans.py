@@ -106,6 +106,43 @@ def main() -> int:
         "day directories are never opened (scan cost ∝ window, asserted in "
         "tests/test_temporal.py).",
     )
+    edges = edges_with_day(rewrite_triples(extract_docstream(docs), mmap))
+    from kgforge.extract.predicates import canonicalize_predicates
+    from kgforge.graph.analytics import (
+        entity_profile,
+        triangle_counts,
+        two_hop_reach_approx,
+    )
+
+    dump(
+        "kg_pred_canon (distinct-set broadcast map)",
+        canonicalize_predicates(edges),
+        "The canonical-predicate map (built driver-side on the bounded "
+        "distinct predicate set) returns as a BroadcastHashJoin — the edge "
+        "stream never shuffles for this stage (asserted in "
+        "tests/test_graph_analytics.py).",
+    )
+    dump(
+        "kg_entity_profile (single-shuffle rollup)",
+        entity_profile(edges),
+        "Union of both role projections → one grouped aggregation with "
+        "map-side partial agg; no joins.",
+    )
+    dump(
+        "kg_triangles (degree-ordered orientation)",
+        triangle_counts(edges),
+        "Wedges enumerate at the lowest-(degree,node) endpoint of each "
+        "edge (sortable zeropad(deg)|node keys); the oriented set is "
+        "materialized once for its three plan branches. No "
+        "CartesianProduct.",
+    )
+    dump(
+        "kg_two_hop_sketch (HLL, one sketch row per edge)",
+        two_hop_reach_approx(edges),
+        "hll_sketch_agg per node + hll_union_agg per seed: the hop join "
+        "moves |E| sketch rows, never the quadratic wedge fan-out "
+        "(tolerance-gated vs the exact plan in tests).",
+    )
     print("\n".join(out))
     spark.stop()
     return 0
