@@ -151,7 +151,24 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # of random IO inside its timed window (observed: 2.9 s → 22 s drift
     # on kg_refdata as the shared host's page cache was evicted).
     def _warm(batches):
-        import kgforge.stages.docstream  # noqa: F401 — pay imports now
+        # pay imports AND the lazy one-time Unicode scans (currency_regex,
+        # ALL_PUNCS — ~1-2 s each, measured via cProfile) by pushing one
+        # real doc through the full normalize+extract path per worker slot
+        from kgforge.extract.triples import doc_triples
+        from kgforge.stages.normalize import _tag_map
+        from kgforge.textnorm.pipeline import (
+            DEFAULT_MAX_SEQUENCE_LENGTH,
+            punctuate_one,
+        )
+        from kgforge.textnorm.tagger import MockTagger
+
+        tn, _labels = punctuate_one(
+            "acme corp acquired iron foods for $5",
+            MockTagger(lang="en"),
+            _tag_map("en"),
+            DEFAULT_MAX_SEQUENCE_LENGTH,
+        )
+        doc_triples(tn, "en")
         for pdf in batches:
             yield pdf
 

@@ -49,7 +49,23 @@ def main() -> int:
     # the gate measures steady-state docs/sec — on a real multi-hour run,
     # worker spin-up is amortized to nothing
     def _noop(batches):
-        import kgforge.stages.docstream  # noqa: F401 — pay imports now
+        # pay imports AND the lazy one-time Unicode scans (currency_regex,
+        # ALL_PUNCS) by pushing one real doc through the full path
+        from kgforge.extract.triples import doc_triples
+        from kgforge.stages.normalize import _tag_map
+        from kgforge.textnorm.pipeline import (
+            DEFAULT_MAX_SEQUENCE_LENGTH,
+            punctuate_one,
+        )
+        from kgforge.textnorm.tagger import MockTagger
+
+        tn, _labels = punctuate_one(
+            "acme corp acquired iron foods for $5",
+            MockTagger(lang="en"),
+            _tag_map("en"),
+            DEFAULT_MAX_SEQUENCE_LENGTH,
+        )
+        doc_triples(tn, "en")
         for pdf in batches:
             yield pdf
 
