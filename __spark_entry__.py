@@ -332,14 +332,22 @@ def _edges_by_day_path(sf_dir: str) -> str:
 
     from kgforge.fixtures.expected import EXPECTED_VERSION
 
-    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    import hashlib
+
+    # key by a hash of the FULL sf_dir, not its basename: two datasets
+    # whose directories share a basename (/data/a/sf0.01 vs /data/b/sf0.01)
+    # must never reuse each other's committed edge table (round-4 review
+    # finding #4)
+    dir_key = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:10]
     root = os.path.join(
         tempfile.gettempdir(), f"kgforge_edges_by_day_{os.getpid()}"
     )
     if not os.path.exists(root):
         os.makedirs(root, exist_ok=True)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    path = os.path.join(root, f"{EXPECTED_VERSION}_{tier}")
+    path = os.path.join(root, f"{EXPECTED_VERSION}_{dir_key}")
     os.makedirs(path, exist_ok=True)
     return path
 

@@ -150,31 +150,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # pandas-UDF phase otherwise pays 32× (numpy+pandas+kgforge imports)
     # of random IO inside its timed window (observed: 2.9 s → 22 s drift
     # on kg_refdata as the shared host's page cache was evicted).
-    def _warm(batches):
-        # pay imports AND the lazy one-time Unicode scans (currency_regex,
-        # ALL_PUNCS — ~1-2 s each, measured via cProfile) by pushing one
-        # real doc through the full normalize+extract path per worker slot
-        from kgforge.extract.triples import doc_triples
-        from kgforge.stages.normalize import _tag_map
-        from kgforge.textnorm.pipeline import (
-            DEFAULT_MAX_SEQUENCE_LENGTH,
-            punctuate_one,
-        )
-        from kgforge.textnorm.tagger import MockTagger
+    from kgforge.session import warm_python_workers
 
-        tn, _labels = punctuate_one(
-            "acme corp acquired iron foods for $5",
-            MockTagger(lang="en"),
-            _tag_map("en"),
-            DEFAULT_MAX_SEQUENCE_LENGTH,
-        )
-        doc_triples(tn, "en")
-        for pdf in batches:
-            yield pdf
-
-    spark.range(0, n_cores * 8, 1, n_cores * 4).mapInPandas(
-        _warm, "id long"
-    ).count()
+    warm_python_workers(spark, n_cores)
 
     t0 = time.perf_counter()
     alias_map = alias_resolution(alias_df).localCheckpoint()

@@ -357,6 +357,12 @@ def _trim_subj(
             # corp's ceo maria lopez joined …" — the subject is the head
             # NP, never "…corp's ceo …"
             break
+        if out and (tok in _TEMPORAL_WORDS or tok in _SENT_ADVERBS):
+            # a temporal word left of collected entity tokens is a
+            # dateline remnant, not part of the name ("Last month james
+            # smith founded …" after an appositive strip → subject stops
+            # at "month", yielding "james smith")
+            break
         out.append(tok)
         start = j
         if len(out) >= MAX_ARG_TOKENS:
@@ -438,11 +444,34 @@ _SENT_ADVERBS = {
 }
 
 
+# vocabulary of multi-token temporal/dateline lead-ins ("last week,",
+# "two years ago,", "since 2019,") — beyond the single-word adverbs in
+# _SENT_ADVERBS. A candidate list item made ONLY of these (+ digits) is a
+# sentence adverbial, never a subject conjunct (round-4 review finding #1:
+# the bare-comma co-subject promotion was committing datelines as
+# subjects).
+_TEMPORAL_WORDS = {
+    "last", "this", "next", "early", "earlier", "late", "later", "since",
+    "ago", "week", "weeks", "month", "months", "year", "years", "day",
+    "days", "decade", "decades", "quarter", "morning", "evening", "night",
+    "midnight", "noon", "spring", "summer", "autumn", "fall", "winter",
+    "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "few", "several",
+}
+
+
 def _is_adverbial_item(item_rev: list[str]) -> bool:
-    """A single-token candidate list item that is a discourse/temporal
-    adverb is a sentence adverbial, never a subject conjunct."""
-    return len(item_rev) == 1 and (
+    """A candidate list item that is a discourse/temporal adverbial —
+    a single adverb ("yesterday,") or a run of temporal vocabulary /
+    digits ("last week,", "two years ago,", "since 2019,") — is a
+    sentence adverbial, never a subject conjunct."""
+    if len(item_rev) == 1 and (
         item_rev[0] in _SENT_ADVERBS or item_rev[0] in _REL_ADVERBS
+    ):
+        return True
+    return all(
+        t in _TEMPORAL_WORDS or t in _SENT_ADVERBS or t.isdigit()
+        for t in item_rev
     )
 
 

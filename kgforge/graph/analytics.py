@@ -397,20 +397,28 @@ def sameas_candidates(
     )
 
 
-def edge_latest(edges_df: DataFrame, k: int = 20) -> DataFrame:
-    """Latest-wins edge attribution (the batch analog of a streaming edge
-    upsert): per (subj_id, pred, obj_id) the assertion count, the latest
-    warc_ts (as epoch seconds — timezone-proof) and the url that carried
-    it (ties → max url). One grouped aggregation, single shuffle.
-    Columns: subj_id, pred, obj_id, n, last_ts, last_url."""
-    agg = edges_df.groupBy("subj_id", "pred", "obj_id").agg(
+def edge_latest_state(edges_df: DataFrame) -> DataFrame:
+    """Per-edge latest-wins record: assertion count + the latest
+    (warc_ts-epoch, url) witness (ties → max url). THE single definition
+    of the upsert semantics — the batch presenter below and the streaming
+    maintainer (streaming.ingest.stream_upsert_edge_latest) both build on
+    it, so they cannot drift. Columns: subj_id, pred, obj_id, n,
+    last(ts, url)."""
+    return edges_df.groupBy("subj_id", "pred", "obj_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.max(
             F.struct(F.col("warc_ts").cast("long").alias("ts"), F.col("url"))
         ).alias("last"),
     )
+
+
+def edge_latest(edges_df: DataFrame, k: int = 20) -> DataFrame:
+    """Latest-wins edge attribution (the batch analog of a streaming edge
+    upsert): top-k of edge_latest_state by recency. One grouped
+    aggregation, single shuffle. Columns: subj_id, pred, obj_id, n,
+    last_ts, last_url."""
     return (
-        agg.select(
+        edge_latest_state(edges_df).select(
             "subj_id",
             "pred",
             "obj_id",

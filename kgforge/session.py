@@ -43,3 +43,34 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Pay Python-worker startup BEFORE any timed phase: module imports
+    plus the lazy one-time Unicode scans (currency_regex, ALL_PUNCS —
+    ~1-2 s each, measured via cProfile) by pushing one real doc through
+    the full normalize+extract path in every worker slot. Shared by
+    bench.py and tools/_scaling_worker.py so the two timed harnesses can
+    never drift (steady-state methodology: at crawl scale worker spin-up
+    amortizes to zero)."""
+
+    def _warm(batches):
+        from kgforge.extract.triples import doc_triples
+        from kgforge.stages.normalize import _tag_map
+        from kgforge.textnorm.pipeline import (
+            DEFAULT_MAX_SEQUENCE_LENGTH,
+            punctuate_one,
+        )
+        from kgforge.textnorm.tagger import MockTagger
+
+        tn, _labels = punctuate_one(
+            "acme corp acquired iron foods for $5",
+            MockTagger(lang="en"),
+            _tag_map("en"),
+            DEFAULT_MAX_SEQUENCE_LENGTH,
+        )
+        doc_triples(tn, "en")
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, cores * 8, 1, cores * 4).mapInPandas(_warm, "id long").count()

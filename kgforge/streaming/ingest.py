@@ -118,15 +118,12 @@ def stream_extract_edges(
 
 
 def _edge_latest_agg(edges: DataFrame) -> DataFrame:
-    """Per-edge upsert record for one micro-batch: assertion count + the
-    latest (warc_ts-epoch, url) witness (same semantics as the batch
-    ``graph.analytics.edge_latest``, minus the top-k)."""
-    return edges.groupBy("subj_id", "pred", "obj_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(
-            F.struct(F.col("warc_ts").cast("long").alias("ts"), F.col("url"))
-        ).alias("last"),
-    )
+    """Per-edge upsert record for one micro-batch — the SHARED batch
+    definition (graph.analytics.edge_latest_state), so the streaming state
+    and the batch table cannot drift."""
+    from kgforge.graph.analytics import edge_latest_state
+
+    return edge_latest_state(edges)
 
 
 def merge_edge_states(cur: DataFrame | None, batch_agg: DataFrame) -> DataFrame:
@@ -161,10 +158,12 @@ def read_edge_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | N
     Columns: subj_id, pred, obj_id, n, last(ts, url)."""
     import os
 
+    import json
+
     marker = os.path.join(state_dir, "_LATEST")
     if not os.path.exists(marker):
         return None
-    v = open(marker).read().strip()
+    v = json.loads(open(marker).read())["batch_id"]
     return spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
 
 
@@ -188,6 +187,11 @@ def stream_upsert_edge_latest(
     version clobbers itself) and the ``_LATEST`` pointer is flipped LAST
     via atomic rename; a replayed batch_id ≤ the pointer is skipped, so a
     crash between sink write and checkpoint commit cannot double-count.
+    Batch ids are only comparable WITHIN one checkpoint lineage — the
+    pointer records the checkpoint identity, and a run against existing
+    state from a DIFFERENT checkpoint fails loudly instead of silently
+    skipping (new ids ≤ old pointer) or double-merging (availableNow
+    re-lists all input under a fresh checkpoint).
 
     Scale path: this offline stand-in rewrites the full state per batch;
     on a real deployment the same merge is an Iceberg/Delta ``MERGE INTO``
@@ -208,9 +212,25 @@ def stream_upsert_edge_latest(
     stream = reader.load(input_dir).withWatermark("warc_ts", "1 day")
     os.makedirs(state_dir, exist_ok=True)
 
+    ckpt_identity = os.path.abspath(checkpoint_dir)
+
     def process_batch(batch_df, batch_id: int):
+        import json
+
         marker = os.path.join(state_dir, "_LATEST")
-        last_applied = int(open(marker).read().strip()) if os.path.exists(marker) else -1
+        last_applied = -1
+        if os.path.exists(marker):
+            rec = json.loads(open(marker).read())
+            if rec["checkpoint"] != ckpt_identity:
+                raise RuntimeError(
+                    "edge-latest state at "
+                    f"{state_dir} belongs to checkpoint {rec['checkpoint']!r}"
+                    f" but this stream uses {ckpt_identity!r}: batch ids are"
+                    " not comparable across checkpoint lineages, so the"
+                    " merge cannot be made exactly-once. Keep the original"
+                    " checkpoint dir, or start from an empty state dir."
+                )
+            last_applied = int(rec["batch_id"])
         if batch_id <= last_applied:
             return  # replay of an already-merged batch — exactly-once skip
         cur = read_edge_latest_state(batch_df.sparkSession, state_dir)
@@ -221,7 +241,7 @@ def stream_upsert_edge_latest(
         merge_edge_states(cur, batch_agg).write.mode("overwrite").parquet(out)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(batch_id))
+            json.dump({"checkpoint": ckpt_identity, "batch_id": batch_id}, f)
         os.replace(tmp, marker)  # atomic pointer flip AFTER the data write
 
     return (

@@ -539,6 +539,20 @@ GOLD = [
      [("acme corp", "acquired", "iron foods")], True),
     ("Maria lopez, 42, joined apex holdings.", "en",
      [("maria lopez", "joined", "apex holdings")], True),  # age appositive
+    # multi-token dateline lead-ins are never co-subjects (round-4 review
+    # finding #1 — previously emitted ('last week', acquired, …))
+    ("Last week, acme corp acquired atlas telecom.", "en",
+     [("acme corp", "acquired", "atlas telecom")], True),
+    ("Two years ago, acme corp acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Since 2019, acme corp supplies golden foods.", "en",
+     [("acme corp", "supplies", "golden foods")], True),
+    # dateline + bare two-item comma subject pair: the first conjunct is
+    # indistinguishable from an appositive rename and is dropped — only
+    # the adjacent subject fires (conservative; adversarial, not clean)
+    ("Last month, maria lopez, james smith founded summit biotech.", "en",
+     [("maria lopez", "founded", "summit biotech"),
+      ("james smith", "founded", "summit biotech")], False),
 ]
 
 

@@ -128,9 +128,11 @@ def test_stream_upsert_edge_latest_matches_batch_and_is_replay_safe(
     spark, tmp_path
 ):
     """The incrementally-maintained latest-wins edge state (multi-batch
-    merge) must equal the batch aggregation over all docs, and replaying
-    the stream against the same state dir (fresh checkpoint → batch ids
-    restart) must not change it (exactly-once merge)."""
+    merge) must equal the batch aggregation over all docs; a catch-up run
+    on the SAME checkpoint leaves it unchanged; newly arriving files merge
+    incrementally to the grown batch result; and a run against a DIFFERENT
+    checkpoint lineage fails loudly (batch ids are not comparable across
+    lineages — round-4 review finding #2)."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -164,32 +166,57 @@ def test_stream_upsert_edge_latest_matches_batch_and_is_replay_safe(
             for r in df.collect()
         )
 
+    def batch_rows(src_path):
+        mention_map = spark.read.parquet(amap_path).select(
+            F.col("alias").alias("mention"), "canon_id"
+        )
+        return rows(
+            rewrite_triples(
+                extract_docstream(spark.read.parquet(src_path)), mention_map
+            )
+            .groupBy("subj_id", "pred", "obj_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.struct(F.col("warc_ts").cast("long").alias("ts"), F.col("url"))
+                ).alias("last"),
+            )
+        )
+
     got = rows(read_edge_latest_state(spark, state))
-    mention_map = spark.read.parquet(amap_path).select(
-        F.col("alias").alias("mention"), "canon_id"
-    )
-    batch = (
-        rewrite_triples(
-            extract_docstream(spark.read.parquet(webdocs_path)), mention_map
-        )
-        .groupBy("subj_id", "pred", "obj_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max(
-                F.struct(F.col("warc_ts").cast("long").alias("ts"), F.col("url"))
-            ).alias("last"),
-        )
-    )
-    assert got == rows(batch)
+    assert got == batch_rows(webdocs_path)
     assert len(got) > 0
 
-    # replay: fresh checkpoint re-delivers every batch with restarted ids —
-    # all ids ≤ _LATEST, so each merge is skipped and the state is unchanged
+    # catch-up on the SAME checkpoint with no new input: zero batches fire,
+    # the state is bit-unchanged
     state_digest = hashlib.md5(repr(got).encode()).hexdigest()
     q2 = stream_upsert_edge_latest(
-        spark, webdocs_path, amap_path, state, str(tmp_path / "eckpt4b"),
-        max_files_per_trigger=1,
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
     )
     q2.awaitTermination(180)
     replayed = rows(read_edge_latest_state(spark, state))
     assert hashlib.md5(repr(replayed).encode()).hexdigest() == state_digest
+
+    # new files arrive: the same-checkpoint catch-up merges ONLY them, and
+    # the state equals the batch aggregation over the grown input
+    fx2 = str(tmp_path / "fx4b")
+    more_path, _ = write_fixture_tables(spark, fx2, 40, partitions=1)
+    # grow the SAME source dir the stream watches (a 40-doc re-crawl whose
+    # urls overlap the original 80 — the latest-wins merge handles it)
+    for i, f in enumerate(glob.glob(os.path.join(more_path, "*.parquet"))):
+        os.link(f, os.path.join(webdocs_path, f"extra_{i}.parquet"))
+    q3 = stream_upsert_edge_latest(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    q3.awaitTermination(180)
+    assert rows(read_edge_latest_state(spark, state)) == batch_rows(webdocs_path)
+
+    # a DIFFERENT checkpoint lineage against the same state must refuse —
+    # silently skipping (ids <= pointer) or re-merging would corrupt it
+    q4 = stream_upsert_edge_latest(
+        spark, webdocs_path, amap_path, state, str(tmp_path / "eckpt4b"),
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(Exception, match="checkpoint"):
+        q4.awaitTermination(180)
+        raise AssertionError("cross-lineage run should have failed")

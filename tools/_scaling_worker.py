@@ -45,33 +45,12 @@ def main() -> int:
     alias_df = spark.read.parquet(args.alias)
     n_docs = webdocs.count()  # warm the input cacheless scan
 
-    # warm every python-worker slot (imports + module init) before timing:
-    # the gate measures steady-state docs/sec — on a real multi-hour run,
-    # worker spin-up is amortized to nothing
-    def _noop(batches):
-        # pay imports AND the lazy one-time Unicode scans (currency_regex,
-        # ALL_PUNCS) by pushing one real doc through the full path
-        from kgforge.extract.triples import doc_triples
-        from kgforge.stages.normalize import _tag_map
-        from kgforge.textnorm.pipeline import (
-            DEFAULT_MAX_SEQUENCE_LENGTH,
-            punctuate_one,
-        )
-        from kgforge.textnorm.tagger import MockTagger
+    # warm every python-worker slot (imports + lazy Unicode-scan init)
+    # before timing: the gate measures steady-state docs/sec — on a real
+    # multi-hour run, worker spin-up is amortized to nothing
+    from kgforge.session import warm_python_workers
 
-        tn, _labels = punctuate_one(
-            "acme corp acquired iron foods for $5",
-            MockTagger(lang="en"),
-            _tag_map("en"),
-            DEFAULT_MAX_SEQUENCE_LENGTH,
-        )
-        doc_triples(tn, "en")
-        for pdf in batches:
-            yield pdf
-
-    spark.range(0, args.cores * 8, 1, args.cores * 4).mapInPandas(
-        _noop, "id long"
-    ).count()
+    warm_python_workers(spark, args.cores)
 
     phases: dict[str, float] = {}
     # reference-data prep (dictionary-only; once per dictionary version in
