@@ -335,10 +335,10 @@ def _trim_subj(
             if tok in _AUX or tok in _REL_ADVERBS:
                 j -= 1  # "X is located in", "X has acquired", "X officially merged"
                 continue
-            if tok in _SENT_ADVERBS:
-                # relation-adjacent temporal adverbial: "X on monday
-                # acquired …" — skip it, and remember to skip its
-                # preposition next
+            if tok in _SENT_ADVERBS or (skipped_temporal and tok in _TEMPORAL_WORDS):
+                # relation-adjacent temporal adverbial run: "X on monday
+                # acquired", "X early monday acquired" — skip the whole
+                # run, then its preposition
                 skipped_temporal = True
                 j -= 1
                 continue
@@ -352,16 +352,11 @@ def _trim_subj(
             return [], hi
         if tok in _STOPWORDS or tok in _REPORT_VERBS or not tok or trailing_punct:
             break
-        if tok.endswith("'s") or tok.endswith("s'"):
+        if (tok.endswith("'s") or tok.endswith("s'")) and out:
             # possessive determiner closes the span on its right: "acme
             # corp's ceo maria lopez joined …" — the subject is the head
-            # NP, never "…corp's ceo …"
-            break
-        if out and (tok in _TEMPORAL_WORDS or tok in _SENT_ADVERBS):
-            # a temporal word left of collected entity tokens is a
-            # dateline remnant, not part of the name ("Last month james
-            # smith founded …" after an appositive strip → subject stops
-            # at "month", yielding "james smith")
+            # NP, never "…corp's ceo …". With NO tokens collected yet the
+            # possessive IS the head ("Mcdonald's acquired …") and is kept.
             break
         out.append(tok)
         start = j
@@ -922,6 +917,32 @@ def _extract_participial_appositives(
 _PARENTHETICAL = re.compile(r"\([^()]{0,80}\)")
 _DASH_APPOS = re.compile(r"\s[-–—]\s[^-–—]{1,60}\s[-–—]\s")
 
+# sentence-initial dateline lead-in ("Last month, …", "On monday, …",
+# "Since 2019, …"): stripped BEFORE any other pre-pass, so a later
+# appositive strip can never glue the dateline onto the subject span
+# ("Last month, maria lopez, james smith founded …" previously collapsed
+# to the garbage subject "last month james smith"). Token-verified: the
+# first comma segment is dropped only when EVERY token is temporal
+# vocabulary / a discourse adverb / a digit / one of on-in-at-since.
+_DATELINE_LEAD = re.compile(r"^\s*([^,]{1,40}),\s*")
+
+
+def _strip_dateline_lead(sentence: str) -> str:
+    m = _DATELINE_LEAD.match(sentence)
+    if m is None:
+        return sentence
+    toks = [_clean_token(t) for t in m.group(1).split()]
+    if toks and all(
+        t in _TEMPORAL_WORDS
+        or t in _SENT_ADVERBS
+        or t.isdigit()
+        or t in {"on", "in", "at", "since"}
+        for t in toks
+    ):
+        return sentence[m.end():]
+    return sentence
+
+
 # relative clause with an extractable relation: ", who works at X," /
 # ", which is based in berlin." — the head NP left of the comma is the
 # clause's subject. The segment is stripped for the main clause (same
@@ -1012,6 +1033,7 @@ def extract_triples(
         sentence = _DASH_APPOS.sub(" ", sentence)
     triples: list[tuple[str, str, str, float]] = []
     if "," in sentence:
+        sentence = _strip_dateline_lead(sentence)
         # relative clauses FIRST: after ", who runs X," is stripped, the
         # main verb phrase no longer follows a comma, so the participial
         # scan below cannot mistake it for an appositive segment
@@ -1202,6 +1224,14 @@ def extract_triples(
                     rel_end = j
             subj_tokens, s_start = _trim_subj(pairs, i)
             obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+            if obj_tokens and _is_participle(obj_tokens[0]):
+                # an object OPENING with a past/participle form means this
+                # "verb" is a noun reading and the real clause verb follows
+                # ("summer hill PARTNERS ACQUIRED iron foods") — the open
+                # tier abstains. Base/3sg forms stay: they are common noun
+                # readings in objects ("celebrated the launch", "writes
+                # about supply chains")
+                obj_tokens = []
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 subj = " ".join(subj_tokens)
                 obj = " ".join(obj_tokens)

@@ -14,6 +14,7 @@ value hash over name-sorted columns):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Iterator
 
@@ -45,12 +46,16 @@ def _widen_narrow_scan(docs: DataFrame) -> DataFrame:
     files = docs.inputFiles()
     if len(files) >= par:
         return docs
+    # parse Spark byte strings ("134217728b", "128m", "128mb", plain int);
+    # the unit letter is the FIRST letter of the suffix — "128mb" is
+    # mebibytes, not bytes (round-4 review pass 2, finding #5)
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
-    raw = raw.strip().lower()
-    mult = units.get(raw[-1], 1)
-    digits = raw.rstrip("bkmg")
-    max_bytes = int(digits) * mult if digits.isdigit() else 134217728
+    m = re.match(r"^\s*(\d+)\s*([a-z]*)\s*$", raw.lower())
+    units = {"": 1, "b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if m and (not m.group(2) or m.group(2)[0] in units):
+        max_bytes = int(m.group(1)) * units[m.group(2)[:1]]
+    else:
+        max_bytes = 134217728
     est_splits = 0
     for f in files:
         path = f[7:] if f.startswith("file://") else f

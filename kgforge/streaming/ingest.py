@@ -163,8 +163,13 @@ def read_edge_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | N
     marker = os.path.join(state_dir, "_LATEST")
     if not os.path.exists(marker):
         return None
-    v = json.loads(open(marker).read())["batch_id"]
-    return spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
+    rec = json.loads(open(marker).read())
+    if not isinstance(rec, dict):
+        raise RuntimeError(
+            f"edge-latest state marker at {marker} uses the legacy plain-int"
+            " format; rebuild the state (see stream_upsert_edge_latest)."
+        )
+    return spark.read.parquet(os.path.join(state_dir, f"state_v{rec['batch_id']}"))
 
 
 def stream_upsert_edge_latest(
@@ -212,7 +217,21 @@ def stream_upsert_edge_latest(
     stream = reader.load(input_dir).withWatermark("warc_ts", "1 day")
     os.makedirs(state_dir, exist_ok=True)
 
-    ckpt_identity = os.path.abspath(checkpoint_dir)
+    # lineage identity = a uuid minted into the checkpoint dir on first
+    # use, NOT the directory path: a deleted-and-recreated checkpoint at
+    # the same path restarts batch ids, gets a fresh uuid, and trips the
+    # loud mismatch below instead of silently skipping every batch
+    # (round-4 review pass 2, finding #3)
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    id_file = os.path.join(checkpoint_dir, "kgforge_lineage_id")
+    if not os.path.exists(id_file):
+        tmp_id = id_file + ".tmp"
+        with open(tmp_id, "w") as f:
+            f.write(uuid.uuid4().hex)
+        os.replace(tmp_id, id_file)
+    ckpt_identity = open(id_file).read().strip()
 
     def process_batch(batch_df, batch_id: int):
         import json
@@ -221,6 +240,14 @@ def stream_upsert_edge_latest(
         last_applied = -1
         if os.path.exists(marker):
             rec = json.loads(open(marker).read())
+            if not isinstance(rec, dict):
+                raise RuntimeError(
+                    f"edge-latest state marker at {marker} uses the legacy"
+                    " plain-int format: this state predates checkpoint-"
+                    "lineage tracking and cannot be safely resumed. Start"
+                    " from an empty state dir (or rebuild via the batch"
+                    " edge_latest_state)."
+                )
             if rec["checkpoint"] != ckpt_identity:
                 raise RuntimeError(
                     "edge-latest state at "

@@ -547,12 +547,26 @@ GOLD = [
      [("acme corp", "acquired", "iron foods")], True),
     ("Since 2019, acme corp supplies golden foods.", "en",
      [("acme corp", "supplies", "golden foods")], True),
-    # dateline + bare two-item comma subject pair: the first conjunct is
-    # indistinguishable from an appositive rename and is dropped — only
-    # the adjacent subject fires (conservative; adversarial, not clean)
+    # dateline + bare two-item comma subject pair: the dateline pre-pass
+    # strips "Last month," BEFORE the appositive logic, so the bare pair
+    # coordinates normally (promoted to clean in the round-4 review pass)
     ("Last month, maria lopez, james smith founded summit biotech.", "en",
      [("maria lopez", "founded", "summit biotech"),
-      ("james smith", "founded", "summit biotech")], False),
+      ("james smith", "founded", "summit biotech")], True),
+    # review pass 2: possessive-headed and temporal-word-headed entity
+    # names survive intact (these regressed mid-round and are pinned)
+    ("Mcdonald's acquired iron foods.", "en",
+     [("mcdonald's", "acquired", "iron foods")], True),
+    ("Two sigma acquired iron foods.", "en",
+     [("two sigma", "acquired", "iron foods")], True),
+    ("Next plc acquired iron foods.", "en",
+     [("next plc", "acquired", "iron foods")], True),
+    ("Three rivers bank acquired iron foods.", "en",
+     [("three rivers bank", "acquired", "iron foods")], True),
+    ("Summer hill partners acquired iron foods.", "en",
+     [("summer hill partners", "acquired", "iron foods")], True),
+    ("Acme corp early monday acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),  # 2-word temporal PP
 ]
 
 
