@@ -282,7 +282,15 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # _strip_zh_prefixes reduces the greedy "X在Y" capture to X)
     (re.compile(_ZH_ENT + "在" + _ZH_ENT + "担任"), "works at", False),
     (re.compile(_ZH_ENT + "担任" + _ZH_ENT), "serves as", False),
-    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "合作"), "partnered with", False),
+    # the 合作 span excludes 达 so "X与Y达成合作" routes to the anchored
+    # 达成 variant below instead of absorbing "Y达成" as the entity
+    (
+        re.compile(
+            _ZH_ENT + "[与和]((?:(?![并与和及且或的了被达])[一-鿿]){2,8})合作"
+        ),
+        "partnered with",
+        False,
+    ),
     # round-4 recall tail (round-3 verdict next-step #3a): common report
     # verbs outside the original pattern set, same bounded-span + negation
     # discipline (the span-absorbed 没/未/不 guard covers 没有参观 etc.)
@@ -296,7 +304,33 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # "X与Y签署了(合作)协议" — signing an agreement together is the
     # partnership assertion; the 与-coordination carries the second entity
     (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "签署"), "partnered with", False),
+    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "合并"), "merged with", False),
+    (re.compile(_ZH_ENT + "并购了?" + _ZH_ENT), "acquired", False),
+    # "X与Y达成(了)合作" — the second span must not absorb 达成, so this
+    # anchored variant runs with 达 excluded from its right span (the
+    # generic …合作 pattern would otherwise emit the garbage span "Y达成")
+    (
+        re.compile(
+            _ZH_ENT + "[与和]((?:(?![并与和及且或的了被达])[一-鿿]){2,8})达成了?合作"
+        ),
+        "partnered with",
+        False,
+    ),
+    # "X成为Y的子公司" — subsidiary assertion, anchored by the 的子公司
+    # closure (a bare 成为 would mislabel "became the subsidiary" as
+    # becoming Y itself)
+    (re.compile(_ZH_ENT + "成为" + _ZH_ENT + "的子公司"), "is a subsidiary of", False),
 ]
+
+# modality markers absorbed into a greedy subject span: a span ENDING in
+# one of these asserts intent, not fact ("蓝海集团计划收购…" is a plan) —
+# the triple is suppressed. 宣布 ("announced") is factive: the marker is
+# stripped and the edge kept.
+_ZH_MODALITY_SUFFIXES = ("计划", "试图", "希望", "打算", "拟", "考虑", "将")
+_ZH_FACTIVE_SUFFIXES = ("宣布", "正式")
+# an object span ending in 失败 means the asserted event FAILED
+# ("收购星辰软件失败了") — no edge
+_ZH_FAILURE_SUFFIXES = ("失败",)
 
 MAX_ARG_TOKENS = 4  # entity window either side of the relation
 
@@ -617,6 +651,9 @@ def _coord_objects(
 _ZH_SUBJ_PREFIXES = (
     "昨天", "今天", "明天", "后天", "前天", "近日", "日前", "据悉",
     "据报道", "此外", "另外", "目前", "现在", "随后", "同时",
+    # role-title prefixes left after a 的-split ("天河科技的首席执行官
+    # 王伟" → 的-split keeps "首席执行官王伟" → title strip keeps "王伟")
+    "首席执行官", "董事长", "总经理", "创始人", "总裁", "首席",
 )
 
 
@@ -653,7 +690,9 @@ _ZH_NEGATORS = ("没有", "从未", "并未", "不曾", "未曾", "没", "未", 
 # and the conjunctions 并(且)/且. Splitting is behavior-preserving for
 # single-clause sentences: no pattern literal contains these chars and
 # the entity class excludes them, so no match could ever cross one.
-_ZH_CLAUSE_SPLIT = re.compile(r"，|；|并且|并|且")
+_ZH_CLAUSE_SPLIT = re.compile(r"，|；|并且|(?<!合)并(?!购)|且")
+# 并 is a clause conjunction EXCEPT inside the verbs 合并 (merge) and
+# 并购 (M&A) — splitting there severed the 合并 pattern mid-word
 # object coordination: the remainder of a segment after a non-swap match
 # that is exactly 和/与/及 + one more entity ("收购了A和B")
 _ZH_OBJ_COORD = re.compile("^[和与及]" + _ZH_ENT + "$")
@@ -717,7 +756,15 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
                     continue  # negated assertion — no edge (either a
                     # negated subject-side span or a mid-pattern negator
                     # absorbed by the first span, e.g. 在Y没担任)
+                if not swap and m.group(1).endswith(_ZH_MODALITY_SUFFIXES):
+                    continue  # "蓝海集团计划收购…" — intent, not fact
+                if m.group(2).endswith(_ZH_FAILURE_SUFFIXES):
+                    continue  # "收购星辰软件失败了" — the event failed
                 subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
+                for fsuf in _ZH_FACTIVE_SUFFIXES:
+                    # "蓝海集团宣布收购…" — announced it: factive, strip
+                    if subj.endswith(fsuf) and len(subj) - len(fsuf) >= 2:
+                        subj = subj[: -len(fsuf)]
                 if swap:  # 被-passive: group(1)=patient, group(2)=agent
                     subj, obj = obj, _strip_zh_prefixes(m.group(1))
                 if subj and obj and subj != obj:

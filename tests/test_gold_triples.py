@@ -567,6 +567,23 @@ GOLD = [
      [("summer hill partners", "acquired", "iron foods")], True),
     ("Acme corp early monday acquired iron foods.", "en",
      [("acme corp", "acquired", "iron foods")], True),  # 2-word temporal PP
+    # --- round-4 final zh batch: modality, factivity, failure, new
+    # patterns (合并/并购/达成合作/成为…的子公司), title-prefix strip ----
+    ("天河科技的首席执行官王伟加入了蓝海集团。", "zh",
+     [("王伟", "joined", "蓝海集团")], True),  # possessive + title strip
+    ("蓝海集团宣布收购星辰软件。", "zh",
+     [("蓝海集团", "acquired", "星辰软件")], True),  # factive 宣布 stripped
+    ("蓝海集团计划收购星辰软件。", "zh", [], True),  # intent, not fact
+    ("蓝海集团将收购星辰软件。", "zh", [], True),  # future modal
+    ("蓝海集团收购星辰软件失败了。", "zh", [], True),  # the event failed
+    ("蓝海集团和星辰软件合并了。", "zh",
+     [("蓝海集团", "merged with", "星辰软件")], True),
+    ("蓝海集团并购了星辰软件。", "zh",
+     [("蓝海集团", "acquired", "星辰软件")], True),
+    ("蓝海集团与星辰软件达成合作。", "zh",
+     [("蓝海集团", "partnered with", "星辰软件")], True),
+    ("星辰软件成为蓝海集团的子公司。", "zh",
+     [("星辰软件", "is a subsidiary of", "蓝海集团")], True),
 ]
 
 
