@@ -234,6 +234,16 @@ _AUX = {
     "will", "would", "can", "could", "may", "might", "must", "shall",
     "should", "do", "does", "did",
 }
+
+# non-factive modals: "X will/may acquire Y" asserts intent/possibility,
+# not fact — the open tier KEEPS the modal in the predicate ("will
+# acquire", same treatment as the "plans to acquire" infinitival tier;
+# canonicalize_pred folds it for the canonical graph). Do-support and
+# BE/HAVE are factive and stay plain.
+_MODAL_NONFACTIVE = {
+    "will", "would", "may", "might", "can", "could", "should", "shall",
+    "must",
+}
 _DETS = {"the", "a", "an"}
 
 # partitive/quantifier NP heads: "is one of the largest companies" is a
@@ -1283,6 +1293,15 @@ def extract_triples(
                 subj = " ".join(subj_tokens)
                 obj = " ".join(obj_tokens)
                 pred = " ".join(tokens[i : rel_end + 1])
+                if (
+                    i > 0
+                    and tokens[i - 1] in _MODAL_NONFACTIVE
+                    and not boundary[i - 1]
+                ):
+                    # modality is preserved IN the predicate ("will
+                    # acquire") — a future/possible assertion is not the
+                    # bare fact; canonicalize_pred folds it downstream
+                    pred = f"{tokens[i - 1]} {pred}"
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, pred, obj, conf))
                 for co_subj in _coord_subjects(pairs, raw, s_start):

@@ -484,9 +484,10 @@ GOLD = [
     ("Regulators disputed nova media acquired iron foods.", "en",
      [], True),
     ("Acme corp will acquire iron foods.", "en",
-     [("acme corp", "acquire", "iron foods")], True),  # modal skipped
+     [("acme corp", "will acquire", "iron foods")], True),  # modality kept
+    # in the predicate (non-factive; canonicalize_pred folds it)
     ("Nova media may purchase golden software.", "en",
-     [("nova media", "purchase", "golden software")], True),
+     [("nova media", "may purchase", "golden software")], True),
     ("Acme corp did acquire iron foods.", "en",
      [("acme corp", "acquire", "iron foods")], True),  # do-support
     ("Both acme corp and nova media acquired iron foods.", "en",
