@@ -259,7 +259,7 @@ _PARTITIVES = {
 
 _EN_SENT_SPLIT = re.compile(r"(?<=[.?!])\s+")
 _ZH_SENT_SPLIT = re.compile(r"(?<=[。？！?!])\s*")
-_EDGE_PUNCT = ".,?!。，？！、"
+_EDGE_PUNCT = ".,?!。，？！、;:；："
 
 # Chinese relation patterns (pattern-based counterpart of the English
 # tiers): leftmost match wins; groups are (subj, obj); ``swap=True`` marks
@@ -983,6 +983,10 @@ _DASH_APPOS = re.compile(r"\s[-–—]\s[^-–—]{1,60}\s[-–—]\s")
 # vocabulary / a discourse adverb / a digit / one of on-in-at-since.
 _DATELINE_LEAD = re.compile(r"^\s*([^,]{1,40}),\s*")
 
+# thousands separators: a comma flanked by digits with exactly three
+# digits following ("1,000", "12,345,678") is number formatting
+_THOUSANDS_SEP = re.compile(r"(?<=\d),(?=\d\d\d\b)")
+
 
 def _strip_dateline_lead(sentence: str) -> str:
     m = _DATELINE_LEAD.match(sentence)
@@ -1084,6 +1088,11 @@ def extract_triples(
     # every pre-pass is gated on a cheap substring probe: the bulk of web
     # sentences carry no comma/paren/dash, and running five regex passes on
     # all of them cost 24% of docstream throughput (round-4 bench)
+    if "," in sentence:
+        # digit-grouping commas ("1,000") are not separators — left in
+        # place they truncate relative-clause/appositive segments at the
+        # comma inside the number
+        sentence = _THOUSANDS_SEP.sub("", sentence)
     if "(" in sentence:
         sentence = _PARENTHETICAL.sub(" ", sentence)
     if " - " in sentence or " – " in sentence or " — " in sentence:

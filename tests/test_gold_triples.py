@@ -585,6 +585,15 @@ GOLD = [
      [("蓝海集团", "partnered with", "星辰软件")], True),
     ("星辰软件成为蓝海集团的子公司。", "zh",
      [("星辰软件", "is a subsidiary of", "蓝海集团")], True),
+    # punctuation hazards: semicolons are clause boundaries; digit-grouping
+    # commas are number formatting, not comma-segment separators
+    ("Acme corp acquired iron foods; nova media acquired golden"
+     " software.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("nova media", "acquired", "golden software")], True),
+    ("Acme corp, which employs 1,000 people, acquired iron foods.", "en",
+     [("acme corp", "employs", "1000 people"),
+      ("acme corp", "acquired", "iron foods")], True),
 ]
 
 
