@@ -241,3 +241,136 @@ def test_mention_counts_match_hand_tally(mention_outputs):
 def test_cooccurrence_matches_hand_tally(mention_outputs):
     _, pairs = mention_outputs
     assert [(r.e1, r.e2, r.n) for r in pairs] == EXPECTED_COOCCUR
+
+
+# ---------------------------------------------------------------------------
+# round-4 extension #2: hand-derived gate for the graph-analytics layer
+# over the SAME e2e edge set. Every expected row below is tallied by hand
+# from the 6 canonical edges above (see EXPECTED_EDGES) and the documented
+# operator semantics in kgforge/graph/analytics.py — never computed by
+# kgforge code. Notable hand derivations:
+# - LPA on bipartite stars OSCILLATES under synchronous updates; 5 rounds
+#   land deterministically on the assignment tallied below (E3–E1–E4
+#   chain: E1→label E3, E3/E4→label E1; star E5-{E6,M06}: E5→E6,
+#   E6/M06→E5; pair E7-M19 swaps on odd rounds).
+# - pred canon: acquired→acquire, works at→work at, is a stays (copular
+#   aux is not stripped to the article), serves as→serve as.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    ts_by_url = {"https://w/a": TS_A, "https://w/b": TS_B, "https://w/c": TS_C}
+    rows = [
+        (s, p, o, url, ts_by_url[url], day)
+        for s, p, o, url, day in EXPECTED_EDGES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj_id string, pred string, obj_id string, url string,"
+        " warc_ts timestamp, day string",
+    )
+
+
+def test_entity_profile_hand_e2e(edges_df):
+    from kgforge.graph.analytics import entity_profile
+
+    got = [tuple(r) for r in entity_profile(edges_df).collect()]
+    assert got == [
+        ("E1", 2, 1, 2, "2021-03-01", "2021-03-02"),
+        ("E3", 0, 2, 1, "2021-03-01", "2021-03-02"),
+        ("E5", 2, 0, 2, "2021-03-02", "2021-03-02"),
+        ("E4", 1, 0, 1, "2021-03-01", "2021-03-01"),
+        ("E6", 0, 1, 1, "2021-03-02", "2021-03-02"),
+        ("E7", 1, 0, 1, "2021-03-02", "2021-03-02"),
+        (M_ZONGJINGLI, 0, 1, 1, "2021-03-02", "2021-03-02"),
+        (M_CARMAKER, 0, 1, 1, "2021-03-02", "2021-03-02"),
+    ]
+
+
+def test_two_hop_hand_e2e(edges_df):
+    from kgforge.graph.analytics import two_hop_reach
+
+    got = [tuple(r) for r in two_hop_reach(edges_df).collect()]
+    # E4 -> E1 -> E3 (reach 2); E5 -> {E6, M06} (reach 2); E1 -> {E3};
+    # E7 -> {M19}
+    assert got == [("E4", 2), ("E5", 2), ("E1", 1), ("E7", 1)]
+
+
+def test_triangles_and_kcore_empty_hand_e2e(edges_df):
+    from kgforge.graph.analytics import kcore, triangle_counts
+
+    assert triangle_counts(edges_df).collect() == []  # forest: no triangle
+    assert kcore(edges_df).collect() == []  # max degree 2 < k=3
+
+
+def test_communities_hand_e2e(edges_df):
+    from kgforge.graph.analytics import label_propagation
+
+    got = [tuple(r) for r in label_propagation(edges_df).collect()]
+    assert got == [
+        ("E1", 2), ("E5", 2),
+        ("E3", 1), ("E6", 1), ("E7", 1), (M_CARMAKER, 1),
+    ]
+
+
+def test_components_hand_e2e(edges_df):
+    from kgforge.graph.cc import connected_components
+    from pyspark.sql import functions as F
+
+    labels = connected_components(
+        edges_df.select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+    )
+    sizes = sorted(
+        ((r["component"], r["n"]) for r in labels.groupBy("component")
+         .agg(F.count(F.lit(1)).alias("n")).collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert sizes == [("E1", 3), ("E5", 3), ("E7", 2)]
+
+
+def test_edge_latest_hand_e2e(edges_df):
+    import calendar
+
+    from kgforge.graph.analytics import edge_latest
+
+    ep = lambda dt: calendar.timegm(dt.timetuple())  # noqa: E731
+    got = [tuple(r) for r in edge_latest(edges_df).collect()]
+    assert got == [
+        ("E5", "serves as", M_ZONGJINGLI, 1, ep(TS_C), "https://w/c"),
+        ("E5", "works at", "E6", 1, ep(TS_C), "https://w/c"),
+        ("E1", "acquired", "E3", 2, ep(TS_B), "https://w/b"),
+        ("E7", "is a", M_CARMAKER, 1, ep(TS_B), "https://w/b"),
+        ("E4", "works at", "E1", 1, ep(TS_A), "https://w/a"),
+    ]
+
+
+def test_pred_canon_hand_e2e(spark, edges_df):
+    from pyspark.sql import functions as F
+
+    from kgforge.extract.predicates import canonicalize_predicates
+
+    got = [
+        tuple(r)
+        for r in canonicalize_predicates(edges_df)
+        .groupBy("canon_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("canon_pred"))
+        .collect()
+    ]
+    assert got == [
+        ("acquire", 2), ("work at", 2), ("is a", 1), ("serve as", 1),
+    ]
+
+
+def test_sameas_candidates_hand_e2e(edges_df):
+    from kgforge.graph.analytics import sameas_candidates
+
+    got = [tuple(r) for r in sameas_candidates(edges_df).collect()]
+    # E3/E4 share their only neighbor E1; E6/M06 share E5 — both J=1.0
+    assert got == [
+        ("E3", "E4", 1.0),
+        ("E6", M_ZONGJINGLI, 1.0),
+    ]
