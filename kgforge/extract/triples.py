@@ -292,11 +292,15 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # _strip_zh_prefixes reduces the greedy "X在Y" capture to X)
     (re.compile(_ZH_ENT + "在" + _ZH_ENT + "担任"), "works at", False),
     (re.compile(_ZH_ENT + "担任" + _ZH_ENT), "serves as", False),
-    # the 合作 span excludes 达 so "X与Y达成合作" routes to the anchored
-    # 达成 variant below instead of absorbing "Y达成" as the entity
+    # the 合作 span refuses to START the sequence 达成(了)合作 — so
+    # "X与Y达成合作" routes to the anchored 达成 variant below instead of
+    # absorbing "Y达成" as the entity, while names CONTAINING 达 (万达,
+    # 达美) still match (round-4 review pass 3: a blanket 达 exclusion
+    # was a recall regression)
     (
         re.compile(
-            _ZH_ENT + "[与和]((?:(?![并与和及且或的了被达])[一-鿿]){2,8})合作"
+            _ZH_ENT
+            + "[与和]((?:(?!达成了?合作)(?![并与和及且或的了被])[一-鿿]){2,8})合作"
         ),
         "partnered with",
         False,
@@ -319,10 +323,10 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # "X与Y达成(了)合作" — the second span must not absorb 达成, so this
     # anchored variant runs with 达 excluded from its right span (the
     # generic …合作 pattern would otherwise emit the garbage span "Y达成")
+    # plain _ZH_ENT here: regex backtracking shrinks the greedy span until
+    # the 达成(了)合作 literal matches, so 万达-style names survive
     (
-        re.compile(
-            _ZH_ENT + "[与和]((?:(?![并与和及且或的了被达])[一-鿿]){2,8})达成了?合作"
-        ),
+        re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "达成了?合作"),
         "partnered with",
         False,
     ),
@@ -379,10 +383,10 @@ def _trim_subj(
             if tok in _AUX or tok in _REL_ADVERBS:
                 j -= 1  # "X is located in", "X has acquired", "X officially merged"
                 continue
-            if tok in _SENT_ADVERBS or (skipped_temporal and tok in _TEMPORAL_WORDS):
+            if tok in _SENT_ADVERBS or tok in _TEMPORAL_WORDS:
                 # relation-adjacent temporal adverbial run: "X on monday
-                # acquired", "X early monday acquired" — skip the whole
-                # run, then its preposition
+                # acquired", "X this week acquired", "X early monday
+                # acquired" — skip the whole run, then its preposition
                 skipped_temporal = True
                 j -= 1
                 continue
@@ -401,6 +405,23 @@ def _trim_subj(
             # corp's ceo maria lopez joined …" — the subject is the head
             # NP, never "…corp's ceo …". With NO tokens collected yet the
             # possessive IS the head ("Mcdonald's acquired …") and is kept.
+            break
+        if (
+            out
+            and (tok in _TEMPORAL_WORDS or tok in _SENT_ADVERBS)
+            and j > 0
+            and not pairs[j - 1][1]
+            and (
+                pairs[j - 1][0] in _TEMPORAL_WORDS
+                or pairs[j - 1][0] in _SENT_ADVERBS
+                or pairs[j - 1][0] in {"in", "on", "at", "since", "by", "during"}
+                or pairs[j - 1][0].isdigit()
+            )
+        ):
+            # a temporal word CONTINUING a dateline run to its left ("In
+            # march acme corp…", "Earlier this year acme corp…") closes
+            # the span — but a LONE leading temporal word is kept: it may
+            # head an entity name ("Two sigma", "Next plc", "Summer hill")
             break
         out.append(tok)
         start = j
@@ -700,9 +721,10 @@ _ZH_NEGATORS = ("没有", "从未", "并未", "不曾", "未曾", "没", "未", 
 # and the conjunctions 并(且)/且. Splitting is behavior-preserving for
 # single-clause sentences: no pattern literal contains these chars and
 # the entity class excludes them, so no match could ever cross one.
-_ZH_CLAUSE_SPLIT = re.compile(r"，|；|并且|(?<!合)并(?!购)|且")
+_ZH_CLAUSE_SPLIT = re.compile(r"，|；|(?<!合)并且|(?<!合)并(?!购)|且")
 # 并 is a clause conjunction EXCEPT inside the verbs 合并 (merge) and
-# 并购 (M&A) — splitting there severed the 合并 pattern mid-word
+# 并购 (M&A) — splitting there severed the 合并 pattern mid-word; the
+# 并且 alternative needs the same 合-lookbehind ("…合并且成立了…")
 # object coordination: the remainder of a segment after a non-swap match
 # that is exactly 和/与/及 + one more entity ("收购了A和B")
 _ZH_OBJ_COORD = re.compile("^[和与及]" + _ZH_ENT + "$")
@@ -766,8 +788,11 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
                     continue  # negated assertion — no edge (either a
                     # negated subject-side span or a mid-pattern negator
                     # absorbed by the first span, e.g. 在Y没担任)
-                if not swap and m.group(1).endswith(_ZH_MODALITY_SUFFIXES):
-                    continue  # "蓝海集团计划收购…" — intent, not fact
+                if m.group(1).endswith(_ZH_MODALITY_SUFFIXES):
+                    # "蓝海集团计划收购…" — intent, not fact; for 被-
+                    # passives the modal sits at the end of the PATIENT
+                    # span ("星辰软件将被…收购") — same suppression
+                    continue
                 if m.group(2).endswith(_ZH_FAILURE_SUFFIXES):
                     continue  # "收购星辰软件失败了" — the event failed
                 subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
@@ -799,6 +824,13 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
                     continue  # an elided subject is never the 被-patient
                 m = rx.match(last_subj + seg)
                 if m and _strip_zh_prefixes(m.group(1)) == last_subj:
+                    if m.group(2).endswith(
+                        _ZH_FAILURE_SUFFIXES
+                    ) or m.group(1).endswith(_ZH_MODALITY_SUFFIXES):
+                        # the inherited-subject clause carries the same
+                        # modality/failure guards as the direct path
+                        # ("…，收购星辰软件失败了" must not become an edge)
+                        break
                     obj = m.group(2)
                     if obj and obj != last_subj:
                         triples.append((last_subj, pred, obj, 0.8))
@@ -807,6 +839,24 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
                             triples.append((last_subj, pred, co.group(1), 0.8))
                         break
     return triples
+
+
+def _modal_in_gap(pairs: list[tuple[str, bool]], start_ix: int) -> str | None:
+    """The non-factive modal in the aux/adverb gap left of a relation head
+    ("WOULD have acquired", "WILL be acquired by"), or None — same walk
+    discipline as _negated. The caller prefixes it to the predicate so a
+    future/possible/counterfactual assertion is never emitted as the bare
+    fact."""
+    j = start_ix
+    while j >= 0:
+        tok, trailing_punct = pairs[j]
+        if tok in _MODAL_NONFACTIVE and not trailing_punct:
+            return tok
+        if (tok in _AUX or tok in _REL_ADVERBS) and not trailing_punct:
+            j -= 1
+            continue
+        return None
+    return None
 
 
 def _negated(pairs: list[tuple[str, bool]], start_ix: int) -> bool:
@@ -1155,12 +1205,16 @@ def extract_triples(
                     subj = " ".join(subj_tokens)
                     obj = " ".join(obj_tokens)
                     conf = _open_conf(subj_tokens, obj_tokens)
-                    triples.append((subj, tok, obj, conf))
+                    modal = _modal_in_gap(pairs, i - 1)
+                    pred = f"{modal} {tok}" if modal else tok
+                    # "iron foods WILL BE acquired by X" — same modality
+                    # marking as the active form "X will acquire"
+                    triples.append((subj, pred, obj, conf))
                     # coordination: "A and B were acquired by C" / "… by C and D"
                     for co_patient in _coord_subjects(pairs, raw, o_start):
-                        triples.append((subj, tok, co_patient, conf))
+                        triples.append((subj, pred, co_patient, conf))
                     for co_agent in _coord_objects(pairs, raw, _send, s_stop):
-                        triples.append((co_agent, tok, obj, conf))
+                        triples.append((co_agent, pred, obj, conf))
                     i = by_ix + 1
                     continue
         # tier 2d — nominal relation: BE + [DET] + NP{1..3} + "of"
@@ -1272,6 +1326,11 @@ def extract_triples(
                 subj = " ".join(subj_tokens)
                 obj = " ".join(obj_tokens)
                 pred = " ".join(match)
+                modal = _modal_in_gap(pairs, i - 1)
+                if modal:
+                    # "X WOULD HAVE merged with Y" — counterfactual/future
+                    # closed-lexicon matches carry the modal too
+                    pred = f"{modal} {pred}"
                 triples.append((subj, pred, obj, conf))
                 for co_subj in _coord_subjects(pairs, raw, s_start):
                     triples.append((co_subj, pred, obj, conf))
@@ -1290,27 +1349,23 @@ def extract_triples(
                     rel_end = j
             subj_tokens, s_start = _trim_subj(pairs, i)
             obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
-            if obj_tokens and _is_participle(obj_tokens[0]):
-                # an object OPENING with a past/participle form means this
-                # "verb" is a noun reading and the real clause verb follows
-                # ("summer hill PARTNERS ACQUIRED iron foods") — the open
-                # tier abstains. Base/3sg forms stay: they are common noun
-                # readings in objects ("celebrated the launch", "writes
-                # about supply chains")
-                obj_tokens = []
+            # NOTE: no participle-opening-object rejection here. A mid-round
+            # guard tried it ("summer hill PARTNERS acquired X" misreads the
+            # plural noun as the pred) but it equally killed legitimate
+            # participial modifiers ("manages ESTABLISHED brands") — there is
+            # no local discriminator without POS context, so the open tier
+            # keeps the rare noun-misread FP (measured in the gold P).
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 subj = " ".join(subj_tokens)
                 obj = " ".join(obj_tokens)
                 pred = " ".join(tokens[i : rel_end + 1])
-                if (
-                    i > 0
-                    and tokens[i - 1] in _MODAL_NONFACTIVE
-                    and not boundary[i - 1]
-                ):
+                modal = _modal_in_gap(pairs, i - 1)
+                if modal:
                     # modality is preserved IN the predicate ("will
-                    # acquire") — a future/possible assertion is not the
+                    # acquire", "would acquired" for the counterfactual
+                    # perfect) — a future/possible assertion is not the
                     # bare fact; canonicalize_pred folds it downstream
-                    pred = f"{tokens[i - 1]} {pred}"
+                    pred = f"{modal} {pred}"
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, pred, obj, conf))
                 for co_subj in _coord_subjects(pairs, raw, s_start):

@@ -248,7 +248,14 @@ def stream_upsert_edge_latest(
                     " from an empty state dir (or rebuild via the batch"
                     " edge_latest_state)."
                 )
-            if rec["checkpoint"] != ckpt_identity:
+            if rec["checkpoint"] == os.path.abspath(checkpoint_dir):
+                # one-time migration from the previous marker format that
+                # identified the lineage by directory PATH: the checkpoint
+                # dir is intact (the uuid was just minted into it), so the
+                # lineage is continuous — accept, and the marker is
+                # rewritten with the uuid on the next merge
+                pass
+            elif rec["checkpoint"] != ckpt_identity:
                 raise RuntimeError(
                     "edge-latest state at "
                     f"{state_dir} belongs to checkpoint {rec['checkpoint']!r}"

@@ -594,6 +594,32 @@ GOLD = [
     ("Acme corp, which employs 1,000 people, acquired iron foods.", "en",
      [("acme corp", "employs", "1000 people"),
       ("acme corp", "acquired", "iron foods")], True),
+    # --- review pass 3: comma-less datelines, modal gaps, zh guards ------
+    ("In march acme corp acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Earlier this year acme corp acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Acme corp this week acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Acme corp would have acquired iron foods.", "en",
+     [("acme corp", "would acquired", "iron foods")], True),
+    # counterfactual: modality detected across the aux gap and kept in the
+    # predicate (surface "would acquired"; canonicalize_pred → acquire)
+    ("Iron foods will be acquired by acme corp.", "en",
+     [("acme corp", "will acquired", "iron foods")], True),
+    ("Acme corp manages established brands.", "en",
+     [("acme corp", "manages", "established brands")], False),
+    # adversarial: the participial-modifier object is extracted correctly,
+    # but a noun-misread sibling triple also fires (no local discriminator
+    # without POS — measured in P, see the tier-2b NOTE in triples.py)
+    ("蓝海集团与万达集团合作。", "zh",
+     [("蓝海集团", "partnered with", "万达集团")], True),  # 达-containing name
+    ("星辰软件将被蓝海集团收购。", "zh", [], True),  # modal passive: intent
+    ("蓝海集团收购了华光能源，收购星辰软件失败了。", "zh",
+     [("蓝海集团", "acquired", "华光能源")], True),  # inherited-clause failure
+    ("蓝海集团和星辰软件合并且成立了新公司。", "zh",
+     [("蓝海集团", "merged with", "星辰软件"),
+      ("蓝海集团", "founded", "新公司")], True),  # 合并且 split guard
 ]
 
 
