@@ -219,6 +219,7 @@ def label_propagation_labels(
         .localCheckpoint()
     )
     labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
+    prev_sig = None
     for it in range(iterations):
         nbr_labels = nbrs.join(
             labels.withColumnRenamed("node", "nbr").withColumnRenamed(
@@ -244,6 +245,30 @@ def label_propagation_labels(
         # the measured sweet spot is the middle (BENCH.md round 4)
         if it % 2 == 1 or it == iterations - 1:
             labels = labels.localCheckpoint()
+            # early exit — SEMANTICS-PRESERVING: signatures match between
+            # checkpointed rounds (gap 1 or 2), proving the trajectory has
+            # period ≤ 2; the final state then equals the CURRENT state iff
+            # the remaining round count is EVEN (period-1 fixpoints satisfy
+            # any parity, period-2 oscillators — bipartite stars — need it),
+            # so the break fires only on even remainder and the output is
+            # bit-identical to running all ``iterations`` rounds. The
+            # signature is an order-insensitive hashed checksum — one cheap
+            # action per checkpointed round (the cc.py discipline).
+            row = labels.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.xxhash64(F.col("node"), F.col("label")).cast(
+                            "decimal(38,0)"
+                        )
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
+            ).collect()[0]
+            sig = (int(row["n"]), int(row["h"]))
+            if sig == prev_sig and (iterations - (it + 1)) % 2 == 0:
+                break
+            prev_sig = sig
     return labels
 
 

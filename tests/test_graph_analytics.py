@@ -243,3 +243,44 @@ def test_pred_canon_broadcast_plan(spark):
     assert "SortMergeJoin" not in plan
     got = {r["pred"]: r["canon_pred"] for r in df.collect()}
     assert got == {"acquired": "acquire", "purchased": "acquire", "bought": "acquire"}
+
+
+def test_lpa_early_exit_preserves_semantics(spark):
+    """The convergence early-exit must be invisible: for BOTH a converging
+    graph and a period-2 oscillator (bipartite star), the result at a
+    large iteration cap equals the direct synchronous simulation run for
+    exactly that many rounds (the parity condition is what makes the
+    oscillator case hold)."""
+    def simulate(pairs, iterations):
+        adj = {}
+        for u, v in pairs:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        labels = {n: n for n in adj}
+        for _ in range(iterations):
+            labels = {
+                n: min(
+                    ((-sum(1 for m in nbrs if labels[m] == l), l)
+                     for l in {labels[m] for m in nbrs})
+                )[1]
+                for n, nbrs in adj.items()
+            }
+        sizes = {}
+        for l in labels.values():
+            sizes[l] = sizes.get(l, 0) + 1
+        return sizes
+
+    graphs = [
+        # clique + bridge: converges quickly → early exit fires
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        # star: period-2 oscillator → parity-guarded exit
+        [("hub", f"n{i}") for i in range(4)],
+    ]
+    for pairs in graphs:
+        for iterations in (9, 10):
+            df = _edges(spark, [(u, "p", v, "u", 0, "d") for u, v in pairs])
+            got = {
+                r["community"]: r["size"]
+                for r in label_propagation(df, iterations=iterations, k=100).collect()
+            }
+            assert got == simulate(pairs, iterations), (pairs, iterations)
