@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgforge.graph.cc import _signature as _cc_signature
+
 
 def entity_profile_table(edges_day_df: DataFrame) -> DataFrame:
     """FULL per-entity activity profile over the assertion stream (NOT
@@ -220,6 +222,7 @@ def label_propagation_labels(
     )
     labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
     prev_sig = None
+    stop_next = False
     for it in range(iterations):
         nbr_labels = nbrs.join(
             labels.withColumnRenamed("node", "nbr").withColumnRenamed(
@@ -240,35 +243,36 @@ def label_propagation_labels(
             )
             .select("node", F.col("best.nbr_label").alias("label"))
         )
+        if stop_next:
+            # parity escape (see below): one extra round re-aligned the
+            # period-≤2 trajectory with the final round's parity
+            labels = labels.localCheckpoint()
+            break
         # truncate lineage every OTHER round: per-round eager checkpoints
         # pay one Spark job each, fully-lazy chaining grows the plan —
         # the measured sweet spot is the middle (BENCH.md round 4)
         if it % 2 == 1 or it == iterations - 1:
             labels = labels.localCheckpoint()
-            # early exit — SEMANTICS-PRESERVING: signatures match between
-            # checkpointed rounds (gap 1 or 2), proving the trajectory has
-            # period ≤ 2; the final state then equals the CURRENT state iff
-            # the remaining round count is EVEN (period-1 fixpoints satisfy
-            # any parity, period-2 oscillators — bipartite stars — need it),
-            # so the break fires only on even remainder and the output is
-            # bit-identical to running all ``iterations`` rounds. The
-            # signature is an order-insensitive hashed checksum — one cheap
-            # action per checkpointed round (the cc.py discipline).
-            row = labels.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.sum(
-                        F.xxhash64(F.col("node"), F.col("label")).cast(
-                            "decimal(38,0)"
-                        )
-                    ),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("h"),
-            ).collect()[0]
-            sig = (int(row["n"]), int(row["h"]))
-            if sig == prev_sig and (iterations - (it + 1)) % 2 == 0:
-                break
-            prev_sig = sig
+            # early exit, semantics-preserving up to checksum collision: a
+            # signature match between checkpointed rounds proves the
+            # trajectory has period ≤ 2 (fixpoint or bipartite-star
+            # oscillation); the final state equals the CURRENT state iff
+            # the remaining round count is EVEN — on odd remainder, run
+            # exactly ONE more round (period ≤ 2 ⇒ parity re-aligns) and
+            # stop. Signatures are only computed when a break could save a
+            # round (iterations > 5 — at the default 5, the earliest
+            # actionable match saves nothing, so production calls pay zero
+            # extra jobs). The checksum is probabilistic (_signature
+            # docstring); a collision would end the loop early with a
+            # period-assumption that doesn't hold — the standard accepted
+            # risk of checksum fixpoint detection, shared with graph.cc.
+            if iterations > 5 and it != iterations - 1:
+                sig = _cc_signature(labels, "node", "label")
+                if sig == prev_sig:
+                    if (iterations - (it + 1)) % 2 == 0:
+                        break
+                    stop_next = True
+                prev_sig = sig
     return labels
 
 

@@ -54,12 +54,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
-def _signature(e: DataFrame) -> tuple[int, int]:
-    # decimal(38,0) sum: overflow-proof under ANSI mode (Spark 4 default)
+def _signature(
+    e: DataFrame, col_a: str = "src", col_b: str = "dst"
+) -> tuple[int, int]:
+    """Order-insensitive hashed checksum of a two-column DataFrame (count +
+    sum of xxhash64 over both columns). Shared by the cc fixpoint and the
+    LPA convergence exit (graph.analytics). PROBABILISTIC: distinct states
+    can collide (order-insensitive sums admit swap collisions), the same
+    accepted risk as any checksum-based fixpoint detection.
+
+    decimal(38,0) sum: overflow-proof under ANSI mode (Spark 4 default)."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")),
+            F.sum(F.xxhash64(F.col(col_a), F.col(col_b)).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("h"),
     ).collect()[0]

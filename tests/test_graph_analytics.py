@@ -271,9 +271,11 @@ def test_lpa_early_exit_preserves_semantics(spark):
         return sizes
 
     graphs = [
-        # clique + bridge: converges quickly → early exit fires
+        # clique + bridge: converges quickly → even caps take the direct
+        # break, odd caps take the one-extra-round parity escape
         [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
-        # star: period-2 oscillator → parity-guarded exit
+        # star: period-2 oscillator → the parity machinery must return the
+        # exact phase the full run would
         [("hub", f"n{i}") for i in range(4)],
     ]
     for pairs in graphs:
