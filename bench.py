@@ -68,7 +68,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # scans into hundreds of micro-tasks (pricing_summary 8.1s → 0.7s at
     # the default). The small-split config is applied at runtime to the
     # KG phases only, below.
-    qs = queries()
+    # contract registry + the per-operator members of the round-5
+    # consolidated families (bench times operators individually even
+    # though the driver contract records them through family queries)
+    from kgforge.queries import BENCH_QUERIES
+
+    qs = {**BENCH_QUERIES, **queries()}
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

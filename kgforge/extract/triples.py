@@ -30,6 +30,17 @@ REL_LEXICON: list[tuple[str, ...]] = [
     ("is", "a"),
 ]
 
+# first-token index over REL_LEXICON, longest-first per bucket: the tier-1
+# scan probes one dict lookup per token instead of slicing a candidate
+# tuple per lexicon entry per token (round-5 docstream profile). Longest-
+# first ordering preserves the original longest-match-wins semantics.
+_REL_BY_FIRST: dict[str, list[tuple[str, ...]]] = {}
+for _rel in REL_LEXICON:
+    _REL_BY_FIRST.setdefault(_rel[0], []).append(_rel)
+for _bucket in _REL_BY_FIRST.values():
+    _bucket.sort(key=len, reverse=True)
+del _rel, _bucket
+
 _STOPWORDS = {
     "the", "a", "an", "and", "or", "but", "while", "with", "for", "to",
     "of", "in", "on", "at", "by", "from", "about", "as", "into", "after",
@@ -360,8 +371,20 @@ def split_sentences(text_norm: str, lang: str = "en") -> list[str]:
     return [s.strip() for s in splitter.split(text_norm) if s.strip()]
 
 
+_CLEAN_CACHE: dict[str, str] = {}
+_CLEAN_CACHE_CAP = 1 << 18
+
+
 def _clean_token(tok: str) -> str:
-    return tok.strip(_EDGE_PUNCT).lower()
+    # memoized: called once per token occurrence over a Zipfian vocabulary
+    # (round-5 docstream profile — strip+lower dominated by repeat tokens)
+    c = _CLEAN_CACHE.get(tok)
+    if c is None:
+        if len(_CLEAN_CACHE) >= _CLEAN_CACHE_CAP:
+            _CLEAN_CACHE.clear()
+        c = tok.strip(_EDGE_PUNCT).lower()
+        _CLEAN_CACHE[tok] = c
+    return c
 
 
 def _trim_subj(
@@ -912,10 +935,21 @@ def _strip_appositives(sentence: str) -> str:
     return _APPOSITIVE.sub(repl, sentence)
 
 
+_PARTICIPLE_CACHE: dict[str, bool] = {}
+
+
 def _is_participle(tok: str) -> bool:
-    return (tok.endswith("ed") and tok in _VERB_FORMS) or (
-        tok in _IRREGULAR_PARTICIPLES
-    )
+    # memoized over the (bounded) token vocabulary — probed once per token
+    # in the main extractor loop (round-5 docstream profile)
+    v = _PARTICIPLE_CACHE.get(tok)
+    if v is None:
+        if len(_PARTICIPLE_CACHE) >= _CLEAN_CACHE_CAP:
+            _PARTICIPLE_CACHE.clear()
+        v = (tok.endswith("ed") and tok in _VERB_FORMS) or (
+            tok in _IRREGULAR_PARTICIPLES
+        )
+        _PARTICIPLE_CACHE[tok] = v
+    return v
 
 
 # reduced-passive/locative appositive: ", founded by elena novak," /
@@ -1305,13 +1339,18 @@ def extract_triples(
                     triples.append((subj, pred, co_obj, conf))
             i = rel_end + 1
             continue
-        # tier 1 — closed lexicon, longest match
+        # tier 1 — closed lexicon, longest match (first-token index;
+        # buckets are longest-first so the first hit IS the longest)
         match: tuple[str, ...] | None = None
-        for rel in REL_LEXICON:
-            k = len(rel)
-            if i + k <= n and tuple(tokens[i : i + k]) == rel:
-                if match is None or k > len(match):
+        bucket = _REL_BY_FIRST.get(tok)
+        if bucket is not None:
+            for rel in bucket:
+                k = len(rel)
+                if i + k <= n and all(
+                    tokens[i + x] == rel[x] for x in range(1, k)
+                ):
                     match = rel
+                    break
         if match is not None:
             k = len(match)
             subj_tokens, s_start = _trim_subj(pairs, i)

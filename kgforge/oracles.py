@@ -709,3 +709,163 @@ WITH meta AS (
 SELECT first_byte, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
 FROM meta GROUP BY first_byte
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 consolidated family oracles. The driver records at most the
+# first 50 registered queries, so 18 per-operator contract queries were
+# folded into 6 tagged family queries (kgforge.queries round-5 section);
+# each family oracle is the UNION ALL of the constituent oracles above,
+# wrapped to the family's common tagged schema with explicit casts so the
+# type-strict driver compare sees identical (type, value) pairs. The
+# constituent SQL stays registered-name-free: it is popped out of ORACLES
+# below and only reachable through its family entry.
+# ---------------------------------------------------------------------------
+
+_NULL_S = "CAST(NULL AS VARCHAR)"
+_NULL_L = "CAST(NULL AS BIGINT)"
+_NULL_D = "CAST(NULL AS DOUBLE)"
+
+
+def _wrap(inner_sql: str, select_list: str) -> str:
+    return f"SELECT {select_list} FROM (\n{inner_sql}\n)"
+
+
+_FOLDED = {
+    name: ORACLES.pop(name)
+    for name in [
+        "text_quality", "repetition_bigrams",
+        "langid_heuristic", "token_count_bpeish", "doc_fingerprint",
+        "dedup_exact", "near_dup_clusters",
+        "tumbling_window_counts", "sessionize", "daily_retention",
+        "ann_cosine_topk", "lsh_bucketed_ann", "knn_label_vote",
+        "ivf_ann_topk", "embedding_near_dup",
+        "union_distinct", "token_accuracy", "max_seq_len",
+    ]
+}
+
+ORACLES["ann_suite"] = "\nUNION ALL\n".join([
+    _wrap(
+        _FOLDED["ann_cosine_topk"],
+        "'cosine' AS method, CAST(q_id AS BIGINT) AS q_id,"
+        " CAST(c_id AS BIGINT) AS c_id, CAST(cos AS DOUBLE) AS score,"
+        f" {_NULL_S} AS label, {_NULL_L} AS n",
+    ),
+    _wrap(
+        _FOLDED["ivf_ann_topk"],
+        "'ivf' AS method, CAST(q_id AS BIGINT) AS q_id,"
+        " CAST(c_id AS BIGINT) AS c_id, CAST(cos AS DOUBLE) AS score,"
+        f" {_NULL_S} AS label, {_NULL_L} AS n",
+    ),
+    _wrap(
+        _FOLDED["lsh_bucketed_ann"],
+        f"'lsh_bucket' AS method, {_NULL_L} AS q_id,"
+        " CAST(bucket AS BIGINT) AS c_id,"
+        f" {_NULL_D} AS score, {_NULL_S} AS label, CAST(n AS BIGINT) AS n",
+    ),
+    _wrap(
+        _FOLDED["knn_label_vote"],
+        "'knn_vote' AS method, CAST(q_id AS BIGINT) AS q_id,"
+        f" {_NULL_L} AS c_id, {_NULL_D} AS score,"
+        " CAST(pred_label AS VARCHAR) AS label, CAST(votes AS BIGINT) AS n",
+    ),
+    _wrap(
+        _FOLDED["embedding_near_dup"],
+        "'near_dup' AS method, CAST(first_id AS BIGINT) AS q_id,"
+        f" {_NULL_L} AS c_id, {_NULL_D} AS score, {_NULL_S} AS label,"
+        " CAST(n_pairs AS BIGINT) AS n",
+    ),
+])
+
+ORACLES["scalar_metrics"] = "\nUNION ALL\n".join([
+    _wrap(
+        _FOLDED["union_distinct"],
+        "'union_distinct' AS metric, min_v AS key,"
+        f" CAST(n_distinct AS BIGINT) AS ival, {_NULL_D} AS dval",
+    ),
+    _wrap(
+        _FOLDED["token_accuracy"],
+        f"'token_accuracy' AS metric, {_NULL_S} AS key,"
+        " CAST(n AS BIGINT) AS ival, CAST(accuracy AS DOUBLE) AS dval",
+    ),
+    _wrap(
+        _FOLDED["max_seq_len"],
+        "'max_seq_len' AS metric, lang AS key,"
+        " CAST(max_len AS BIGINT) AS ival, CAST(avg_len AS DOUBLE) AS dval",
+    ),
+])
+
+ORACLES["text_signals"] = "\nUNION ALL\n".join([
+    _wrap(
+        _FOLDED["langid_heuristic"],
+        "'langid' AS family, lang AS k1, guess AS k2,"
+        f" CAST(n AS BIGINT) AS n1, {_NULL_L} AS n2, {_NULL_D} AS d1",
+    ),
+    _wrap(
+        _FOLDED["token_count_bpeish"],
+        f"'token_count' AS family, source AS k1, {_NULL_S} AS k2,"
+        f" CAST(total_tokens AS BIGINT) AS n1, {_NULL_L} AS n2,"
+        " CAST(avg_tokens AS DOUBLE) AS d1",
+    ),
+    _wrap(
+        _FOLDED["doc_fingerprint"],
+        f"'fingerprint' AS family, {_NULL_S} AS k1, {_NULL_S} AS k2,"
+        " CAST(dup_fingerprints AS BIGINT) AS n1,"
+        f" CAST(docs_in_dups AS BIGINT) AS n2, {_NULL_D} AS d1",
+    ),
+])
+
+ORACLES["quality_signals"] = "\nUNION ALL\n".join([
+    _wrap(
+        _FOLDED["text_quality"],
+        "'quality' AS family, lang AS k1, source AS k2,"
+        " CAST(n_docs AS BIGINT) AS n1, CAST(sum_tokens AS BIGINT) AS n2,"
+        f" {_NULL_L} AS n3, CAST(avg_tokens AS DOUBLE) AS d1,"
+        " CAST(stopword_ratio AS DOUBLE) AS d2,"
+        " CAST(digit_ratio AS DOUBLE) AS d3",
+    ),
+    _wrap(
+        _FOLDED["repetition_bigrams"],
+        f"'repetition' AS family, source AS k1, {_NULL_S} AS k2,"
+        " CAST(n_docs AS BIGINT) AS n1, CAST(sum_bigrams AS BIGINT) AS n2,"
+        " CAST(n_flagged AS BIGINT) AS n3, CAST(dup_ratio AS DOUBLE) AS d1,"
+        f" {_NULL_D} AS d2, {_NULL_D} AS d3",
+    ),
+])
+
+ORACLES["event_suite"] = "\nUNION ALL\n".join([
+    _wrap(
+        _FOLDED["tumbling_window_counts"],
+        "'tumbling' AS family,"
+        " strftime(window_start, '%Y-%m-%d %H:%M:%S') AS k1,"
+        " event_type AS k2, CAST(n AS BIGINT) AS n1,"
+        f" {_NULL_L} AS n2, CAST(sum_value AS DOUBLE) AS d1",
+    ),
+    _wrap(
+        _FOLDED["daily_retention"],
+        "'retention' AS family,"
+        " strftime(day, '%Y-%m-%d %H:%M:%S') AS k1,"
+        f" {_NULL_S} AS k2, CAST(active_users AS BIGINT) AS n1,"
+        " CAST(retained_next_day AS BIGINT) AS n2,"
+        " CAST(retention_rate AS DOUBLE) AS d1",
+    ),
+    _wrap(
+        _FOLDED["sessionize"],
+        "'sessionize' AS family, CAST(n_sessions AS VARCHAR) AS k1,"
+        f" {_NULL_S} AS k2, CAST(n_users AS BIGINT) AS n1,"
+        f" CAST(sum_events AS BIGINT) AS n2, {_NULL_D} AS d1",
+    ),
+])
+
+ORACLES["dedup_stats"] = "\nUNION ALL\n".join([
+    _wrap(
+        _FOLDED["dedup_exact"],
+        f"'exact' AS family, {_NULL_L} AS survivor,"
+        " CAST(n_unique AS BIGINT) AS n1, CAST(n_removed AS BIGINT) AS n2",
+    ),
+    _wrap(
+        _FOLDED["near_dup_clusters"],
+        "'near' AS family, CAST(survivor AS BIGINT) AS survivor,"
+        " CAST(n_members AS BIGINT) AS n1, CAST(n_removed AS BIGINT) AS n2",
+    ),
+])

@@ -1257,15 +1257,231 @@ def q_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Consolidated contract families (round-5): the external driver records a
+# green row for at most the FIRST 50 registered queries, so the registry
+# must stay ≤ 50 entries for every operator to get per-round recorded
+# verification (round-4 verdict next-step #1 + ADVICE medium #2). Each
+# family query below UNIONs the outputs of the per-operator builds it
+# replaces, tagged by a ``method``/``family`` column and cast to one
+# common schema, so every constituent operator's rows still flow through
+# the driver's row-count + schema + value-hash compare each round. The
+# per-operator functions stay public — bench.py times them individually
+# and the plan/property tests exercise them directly.
+# ---------------------------------------------------------------------------
+
+
+def _nulls():
+    return (
+        F.lit(None).cast("string"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+    )
+
+
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search family in one contract query: brute-force cosine
+    top-k (baseline), IVF top-k (cell-pruned scale path), LSH bucket
+    histogram (hyperplane scale path), k-NN label vote (composition), and
+    LSH-bucketed embedding near-dup (dedup bridge) — one ``method`` tag
+    per constituent operator."""
+    ns, nl, nd = _nulls()
+    cos = q_ann_cosine_topk(spark, sf_dir).select(
+        F.lit("cosine").alias("method"),
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        F.col("cos").cast("double").alias("score"),
+        ns.alias("label"),
+        nl.alias("n"),
+    )
+    ivf = q_ivf_ann_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"),
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        F.col("cos").cast("double").alias("score"),
+        ns.alias("label"),
+        nl.alias("n"),
+    )
+    lsh = q_lsh_bucketed_ann(spark, sf_dir).select(
+        F.lit("lsh_bucket").alias("method"),
+        nl.alias("q_id"),
+        F.col("bucket").cast("long").alias("c_id"),
+        nd.alias("score"),
+        ns.alias("label"),
+        F.col("n").cast("long").alias("n"),
+    )
+    knn = q_knn_label_vote(spark, sf_dir).select(
+        F.lit("knn_vote").alias("method"),
+        F.col("q_id").cast("long").alias("q_id"),
+        nl.alias("c_id"),
+        nd.alias("score"),
+        F.col("pred_label").cast("string").alias("label"),
+        F.col("votes").cast("long").alias("n"),
+    )
+    near = q_embedding_near_dup(spark, sf_dir).select(
+        F.lit("near_dup").alias("method"),
+        F.col("first_id").cast("long").alias("q_id"),
+        nl.alias("c_id"),
+        nd.alias("score"),
+        ns.alias("label"),
+        F.col("n_pairs").cast("long").alias("n"),
+    )
+    return cos.unionByName(ivf).unionByName(lsh).unionByName(knn).unionByName(near)
+
+
+def q_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-reduction family (O6 union+distinct, A3 token accuracy,
+    A6 max/avg sequence length) as tagged metric rows."""
+    ns, nl, nd = _nulls()
+    ud = q_union_distinct(spark, sf_dir).select(
+        F.lit("union_distinct").alias("metric"),
+        F.col("min_v").alias("key"),
+        F.col("n_distinct").cast("long").alias("ival"),
+        nd.alias("dval"),
+    )
+    acc = q_token_accuracy(spark, sf_dir).select(
+        F.lit("token_accuracy").alias("metric"),
+        ns.alias("key"),
+        F.col("n").cast("long").alias("ival"),
+        F.col("accuracy").cast("double").alias("dval"),
+    )
+    msl = q_max_seq_len(spark, sf_dir).select(
+        F.lit("max_seq_len").alias("metric"),
+        F.col("lang").alias("key"),
+        F.col("max_len").cast("long").alias("ival"),
+        F.col("avg_len").cast("double").alias("dval"),
+    )
+    return ud.unionByName(acc).unionByName(msl)
+
+
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis family (language-ID heuristic, BPE-ish token counts,
+    document fingerprint dup stats) as tagged rows."""
+    ns, nl, nd = _nulls()
+    lid = q_langid_heuristic(spark, sf_dir).select(
+        F.lit("langid").alias("family"),
+        F.col("lang").alias("k1"),
+        F.col("guess").alias("k2"),
+        F.col("n").cast("long").alias("n1"),
+        nl.alias("n2"),
+        nd.alias("d1"),
+    )
+    tok = q_token_count_bpeish(spark, sf_dir).select(
+        F.lit("token_count").alias("family"),
+        F.col("source").alias("k1"),
+        ns.alias("k2"),
+        F.col("total_tokens").cast("long").alias("n1"),
+        nl.alias("n2"),
+        F.col("avg_tokens").cast("double").alias("d1"),
+    )
+    fp = q_doc_fingerprint(spark, sf_dir).select(
+        F.lit("fingerprint").alias("family"),
+        ns.alias("k1"),
+        ns.alias("k2"),
+        F.col("dup_fingerprints").cast("long").alias("n1"),
+        F.col("docs_in_dups").cast("long").alias("n2"),
+        nd.alias("d1"),
+    )
+    return lid.unionByName(tok).unionByName(fp)
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring family (per-lang/source quality stats + Gopher-style
+    repetition signal) as tagged rows."""
+    ns, nl, nd = _nulls()
+    tq = q_text_quality(spark, sf_dir).select(
+        F.lit("quality").alias("family"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("sum_tokens").cast("long").alias("n2"),
+        nl.alias("n3"),
+        F.col("avg_tokens").cast("double").alias("d1"),
+        F.col("stopword_ratio").cast("double").alias("d2"),
+        F.col("digit_ratio").cast("double").alias("d3"),
+    )
+    rep = q_repetition_bigrams(spark, sf_dir).select(
+        F.lit("repetition").alias("family"),
+        F.col("source").alias("k1"),
+        ns.alias("k2"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("sum_bigrams").cast("long").alias("n2"),
+        F.col("n_flagged").cast("long").alias("n3"),
+        F.col("dup_ratio").cast("double").alias("d1"),
+        nd.alias("d2"),
+        nd.alias("d3"),
+    )
+    return tq.unionByName(rep)
+
+
+def q_event_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-analytics family (tumbling-window counts, next-day retention,
+    sessionization distribution) as tagged rows; timestamps are formatted
+    to 'yyyy-MM-dd HH:mm:ss' strings identically on both engines."""
+    ns, nl, nd = _nulls()
+    tw = q_tumbling_window_counts(spark, sf_dir).select(
+        F.lit("tumbling").alias("family"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").cast("long").alias("n1"),
+        nl.alias("n2"),
+        F.col("sum_value").cast("double").alias("d1"),
+    )
+    ret = q_daily_retention(spark, sf_dir).select(
+        F.lit("retention").alias("family"),
+        F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        ns.alias("k2"),
+        F.col("active_users").cast("long").alias("n1"),
+        F.col("retained_next_day").cast("long").alias("n2"),
+        F.col("retention_rate").cast("double").alias("d1"),
+    )
+    sess = q_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("family"),
+        F.col("n_sessions").cast("string").alias("k1"),
+        ns.alias("k2"),
+        F.col("n_users").cast("long").alias("n1"),
+        F.col("sum_events").cast("long").alias("n2"),
+        nd.alias("d1"),
+    )
+    return tw.unionByName(ret).unionByName(sess)
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family rollup: exact content-hash dedup stats + top-20
+    near-dup clusters (verified Jaccard pairs → CC → survivor)."""
+    _, nl, _ = _nulls()
+    ex = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("family"),
+        nl.alias("survivor"),
+        F.col("n_unique").cast("long").alias("n1"),
+        F.col("n_removed").cast("long").alias("n2"),
+    )
+    near = q_near_dup_clusters(spark, sf_dir).select(
+        F.lit("near").alias("family"),
+        F.col("survivor").cast("long").alias("survivor"),
+        F.col("n_members").cast("long").alias("n1"),
+        F.col("n_removed").cast("long").alias("n2"),
+    )
+    return ex.unionByName(near)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
+# Round-5 registry: 25 general + 24 kg_* = 49 registered queries, under
+# the driver's proven 50-row record cap, so EVERY registered query gets a
+# recorded driver row each round (round-4 verdict #1 / ADVICE medium #2).
+# The 18 per-operator queries that used to be registered individually now
+# flow through 6 tagged family queries (q_ann_suite, q_scalar_metrics,
+# q_text_signals, q_quality_signals, q_event_suite, q_dedup_stats) — same
+# plans, same rows, one registry slot per family.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_dropna": q_scan_dropna,
     "even_line_sampling": q_even_line_sampling,
     "anti_join": q_anti_join,
     "deterministic_split": q_deterministic_split,
     "pricing_summary": q_pricing_summary,
+    "revenue_topk": q_revenue_topk,
     "distinct_dense_ids": q_distinct_dense_ids,
     "class_weights": q_class_weights,
     "confusion_report": q_confusion_report,
@@ -1274,37 +1490,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_stats": q_quality_filter_stats,
     "mask_chain": q_mask_chain,
+    "quality_signals": q_quality_signals,
+    "top_docs_per_source": q_top_docs_per_source,
+    "text_signals": q_text_signals,
+    "dedup_stats": q_dedup_stats,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash_buckets": q_simhash_buckets,
+    "event_suite": q_event_suite,
+    "ann_suite": q_ann_suite,
+    "scalar_metrics": q_scalar_metrics,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+# Per-operator bench/test surface: the constituent queries keep their old
+# names here so bench.py can still time each operator individually and
+# plan tests can target a single family member.
+BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "repetition_bigrams": q_repetition_bigrams,
-    "top_docs_per_source": q_top_docs_per_source,
     "langid_heuristic": q_langid_heuristic,
     "token_count_bpeish": q_token_count_bpeish,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "simhash_buckets": q_simhash_buckets,
     "tumbling_window_counts": q_tumbling_window_counts,
     "sessionize": q_sessionize,
-    # --- tail: registered LAST on purpose. CORRECTNESS_r03 recorded exactly
-    # the first 50 registered queries, so if the driver's record is capped
-    # (or an order-sensitive cutoff fires), the fall-off must hit only
-    # redundantly-covered entries: trivial scalar reductions also gated by
-    # pytest (union_distinct, token_accuracy, max_seq_len), ops whose family
-    # has ≥2 other contract queries (the ANN quartet — all four here, the
-    # family's pytest + local-replica evidence stands; embedding_near_dup →
-    # the near-dup quartet; multimodal_meta → kg_media_meta; revenue_topk →
-    # every kg_*_topk), and the generic analytic extra (daily_retention).
+    "daily_retention": q_daily_retention,
     "ann_cosine_topk": q_ann_cosine_topk,
     "lsh_bucketed_ann": q_lsh_bucketed_ann,
-    "revenue_topk": q_revenue_topk,
+    "knn_label_vote": q_knn_label_vote,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "union_distinct": q_union_distinct,
     "token_accuracy": q_token_accuracy,
     "max_seq_len": q_max_seq_len,
-    "multimodal_meta": q_multimodal_meta,
-    "daily_retention": q_daily_retention,
-    "knn_label_vote": q_knn_label_vote,
-    "embedding_near_dup": q_embedding_near_dup,
-    "ivf_ann_topk": q_ivf_ann_topk,
 }

