@@ -290,19 +290,26 @@ def label_propagation(
     )
 
 
-def kcore(edges_df: DataFrame, k: int = 3, top: int = 20, max_iter: int = 40) -> DataFrame:
+def kcore(
+    edges_df: DataFrame, k: int = 3, top: int = 20, max_iter: int | None = None
+) -> DataFrame:
     """k-core of the undirected distinct graph: iteratively peel nodes of
     degree < k until a fixpoint; top nodes of the surviving core by
     (in-core degree desc, node asc). Columns: node, degree.
 
     Driver-side fixpoint over DataFrame rounds (the cc/pagerank pattern):
     each round is one degree aggregation + one semi-join filter of the
-    edge set, ``localCheckpoint``-truncated; converges in O(peel depth)
-    rounds (bounded by ``max_iter`` with a loud failure, same discipline
-    as graph.cc)."""
+    edge set, ``localCheckpoint``-truncated. Peel depth is O(diameter) on
+    chain/caterpillar graphs — NOT a small constant — so the default bound
+    is edge_count + 2 (every non-final round strictly removes ≥ 1 edge,
+    so that many rounds provably reach the fixpoint; round-5 ADVICE: a
+    fixed 40-round cap failed computable large sparse graphs). Pass
+    ``max_iter`` to bound work explicitly; the loud failure then marks a
+    genuinely truncated peel."""
     e = _undirected(edges_df).localCheckpoint()
     prev = e.count()
-    for _ in range(max_iter):
+    cap = max_iter if max_iter is not None else prev + 2
+    for _ in range(cap):
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
@@ -321,7 +328,7 @@ def kcore(edges_df: DataFrame, k: int = 3, top: int = 20, max_iter: int = 40) ->
             break
         prev = n
     else:
-        raise RuntimeError(f"kcore did not converge in {max_iter} peel rounds")
+        raise RuntimeError(f"kcore did not converge in {cap} peel rounds")
     core_deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -20,7 +20,11 @@ from kgforge.stages.extract import sentences, triples
 from kgforge.stages.link import alias_resolution, link_with_map, mentions
 from kgforge.stages.normalize import normalize
 
+# core stages always materialized by run_pipeline; ANALYTICS_STAGES are
+# appended when analytics=True (round-5 ADVICE: keep this constant in sync
+# with the stage() calls below — consumers enumerate output tables from it)
 STAGES = ["alias_map", "norm_text", "sentences", "triples_raw", "entities", "edges"]
+ANALYTICS_STAGES = ["entity_profile", "communities", "edges_canon_pred"]
 
 
 def run_pipeline(

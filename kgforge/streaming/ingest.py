@@ -250,11 +250,39 @@ def stream_upsert_edge_latest(
                 )
             if rec["checkpoint"] == os.path.abspath(checkpoint_dir):
                 # one-time migration from the previous marker format that
-                # identified the lineage by directory PATH: the checkpoint
-                # dir is intact (the uuid was just minted into it), so the
-                # lineage is continuous — accept, and the marker is
-                # rewritten with the uuid on the next merge
-                pass
+                # identified the lineage by directory PATH. A path match
+                # alone is NOT lineage continuity: a checkpoint dir deleted
+                # and recreated at the same path restarts batch ids at 0,
+                # and accepting the stale marker would then skip every
+                # replayed batch (batch_id <= last_applied) forever — the
+                # exact corruption the uuid exists to prevent (round-5
+                # ADVICE). Require the checkpoint to actually contain the
+                # streaming commit record for the marker's batch id, and
+                # rewrite the marker with the uuid IMMEDIATELY (not "on the
+                # next merge", which never comes while batches are being
+                # skipped).
+                commit_file = os.path.join(
+                    checkpoint_dir, "commits", str(int(rec["batch_id"]))
+                )
+                if not os.path.exists(commit_file):
+                    raise RuntimeError(
+                        "edge-latest state at "
+                        f"{state_dir} carries a legacy path-format marker for"
+                        f" batch {rec['batch_id']} but the checkpoint at"
+                        f" {checkpoint_dir} has no commit record for that"
+                        " batch: the checkpoint was deleted/recreated, so"
+                        " batch ids are not comparable and the merge cannot"
+                        " be made exactly-once. Keep the original checkpoint"
+                        " dir, or start from an empty state dir."
+                    )
+                mig_tmp = marker + ".tmp"
+                with open(mig_tmp, "w") as f:
+                    json.dump(
+                        {"checkpoint": ckpt_identity,
+                         "batch_id": int(rec["batch_id"])},
+                        f,
+                    )
+                os.replace(mig_tmp, marker)
             elif rec["checkpoint"] != ckpt_identity:
                 raise RuntimeError(
                     "edge-latest state at "

@@ -220,3 +220,80 @@ def test_stream_upsert_edge_latest_matches_batch_and_is_replay_safe(
     with pytest.raises(Exception, match="checkpoint"):
         q4.awaitTermination(180)
         raise AssertionError("cross-lineage run should have failed")
+
+
+def test_legacy_path_marker_migration_and_corruption_guard(spark, tmp_path):
+    """Legacy path-format state markers (round-4's pre-uuid format) are
+    accepted ONLY when the checkpoint really contains the commit record
+    for the marker's batch id, and are rewritten with the uuid lineage id
+    immediately on acceptance; a legacy marker pointing at a batch the
+    checkpoint never committed (deleted/recreated checkpoint) fails loudly
+    instead of silently skipping every replayed batch (round-5 ADVICE)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kgforge.stages.link import alias_resolution
+    from kgforge.streaming.ingest import (
+        read_edge_latest_state,
+        stream_upsert_edge_latest,
+    )
+
+    fx = str(tmp_path / "fx5")
+    webdocs_path, alias_path = write_fixture_tables(spark, fx, 60, partitions=2)
+    amap_path = str(tmp_path / "alias_map5")
+    alias_resolution(spark.read.parquet(alias_path)).write.parquet(amap_path)
+
+    state, ckpt = str(tmp_path / "lstate"), str(tmp_path / "lckpt")
+    q = stream_upsert_edge_latest(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    marker = os.path.join(state, "_LATEST")
+    rec = json.loads(open(marker).read())
+    uuid_id = open(os.path.join(ckpt, "kgforge_lineage_id")).read().strip()
+    assert rec["checkpoint"] == uuid_id
+    before = sorted(
+        (r["subj_id"], r["pred"], r["obj_id"], r["n"])
+        for r in read_edge_latest_state(spark, state).collect()
+    )
+
+    # rewrite the marker to the legacy PATH format, then trigger one more
+    # batch: the migration branch must verify commits/<id> exists, accept,
+    # merge the new batch, and the marker must carry the uuid again
+    with open(marker, "w") as f:
+        json.dump(
+            {"checkpoint": os.path.abspath(ckpt), "batch_id": rec["batch_id"]}, f
+        )
+    fx2 = str(tmp_path / "fx5b")
+    more_path, _ = write_fixture_tables(spark, fx2, 20, partitions=1)
+    for i, f in enumerate(glob.glob(os.path.join(more_path, "*.parquet"))):
+        os.link(f, os.path.join(webdocs_path, f"legacy_extra_{i}.parquet"))
+    q2 = stream_upsert_edge_latest(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    q2.awaitTermination(180)
+    rec2 = json.loads(open(marker).read())
+    assert rec2["checkpoint"] == uuid_id  # migrated, not left as a path
+    assert rec2["batch_id"] > rec["batch_id"]
+    after = sorted(
+        (r["subj_id"], r["pred"], r["obj_id"], r["n"])
+        for r in read_edge_latest_state(spark, state).collect()
+    )
+    assert after != before  # the post-migration batch actually merged
+
+    # corruption case: a legacy path marker whose batch id has NO commit
+    # record in the checkpoint (the deleted-and-recreated scenario) must
+    # refuse loudly rather than skip replayed batches
+    with open(marker, "w") as f:
+        json.dump({"checkpoint": os.path.abspath(ckpt), "batch_id": 9999}, f)
+    fx3 = str(tmp_path / "fx5c")
+    more2, _ = write_fixture_tables(spark, fx3, 20, partitions=1)
+    for i, f in enumerate(glob.glob(os.path.join(more2, "*.parquet"))):
+        os.link(f, os.path.join(webdocs_path, f"legacy_extra2_{i}.parquet"))
+    q3 = stream_upsert_edge_latest(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    with pytest.raises(Exception, match="no commit record"):
+        q3.awaitTermination(180)
+        raise AssertionError("corrupted-lineage migration should have failed")
