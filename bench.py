@@ -239,6 +239,18 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     t0 = time.perf_counter()
     two_hop_reach_approx(edges_tbl).count()
     timings["kg_two_hop_sketch"] = round(time.perf_counter() - t0, 3)
+    # HLL rollup twins (round-5, BACKLOG #12): profile distinct-pred
+    # estimates + per-day distinct-node estimates — the constant-bytes-
+    # per-group serving path beside the exact aggregates
+    from kgforge.graph.analytics import (
+        daily_active_nodes_approx,
+        entity_profile_table_approx,
+    )
+
+    t0 = time.perf_counter()
+    entity_profile_table_approx(edges_tbl).count()
+    daily_active_nodes_approx(edges_tbl).count()
+    timings["kg_profile_sketch"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     label_propagation(edges_tbl).count()
     timings["kg_communities"] = round(time.perf_counter() - t0, 3)
@@ -261,6 +273,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         + timings["kg_entity_profile"]
         + timings["kg_triangles"]
         + timings["kg_two_hop_sketch"]
+        + timings["kg_profile_sketch"]
         + timings["kg_communities"]
         + timings["kg_pred_canon"]
     )

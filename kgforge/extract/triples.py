@@ -321,6 +321,10 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # discipline (the span-absorbed 没/未/不 guard covers 没有参观 etc.)
     (re.compile(_ZH_ENT + "参观了?" + _ZH_ENT), "visited", False),
     (re.compile(_ZH_ENT + "访问了?" + _ZH_ENT), "visited", False),
+    # round-5 promotion of the pinned 考察-class misses: 考察 (inspect on
+    # site) / 调研 (investigate-survey) — same bounded-span discipline
+    (re.compile(_ZH_ENT + "考察了?" + _ZH_ENT), "inspected", False),
+    (re.compile(_ZH_ENT + "调研了?" + _ZH_ENT), "inspected", False),
     (re.compile(_ZH_ENT + "创办了?" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "发布了?" + _ZH_ENT), "launched", False),
     (re.compile(_ZH_ENT + "开发了?" + _ZH_ENT), "developed", False),
@@ -421,6 +425,32 @@ def _trim_subj(
         if tok in _SPAN_SUPPRESSORS:
             # denial / negative coordination crossed: no edge at all
             return [], hi
+        if tok == "of" and out and not trailing_punct and j > 0:
+            # NP-internal of-PP on the SUBJECT side: the tokens collected
+            # so far are the PP COMPLEMENT of a matrix NP ("SHARES of acme
+            # corp rose …") — the grammatical subject is the matrix NP, so
+            # reset and collect it instead (round-5 promotion of the
+            # pinned "shares of X rose" misattribution). Guarded: the
+            # matrix token must be a content word — partitives ("most of
+            # iron foods"), quantities ("51 percent of"), determiners and
+            # temporal words keep the old complement-as-subject behavior,
+            # since for those the complement IS the entity.
+            m_tok, m_punct = pairs[j - 1]
+            if (
+                m_tok
+                and not m_punct
+                and m_tok not in _STOPWORDS
+                and m_tok not in _VERB_FORMS
+                and m_tok not in _BE
+                and m_tok not in _PARTITIVES
+                and m_tok not in _DETS
+                and m_tok not in _TEMPORAL_WORDS
+                and m_tok not in _SENT_ADVERBS
+                and not m_tok.isdigit()
+            ):
+                out = []
+                j -= 1
+                continue
         if tok in _STOPWORDS or tok in _REPORT_VERBS or not tok or trailing_punct:
             break
         if (tok.endswith("'s") or tok.endswith("s'")) and out:
@@ -694,6 +724,18 @@ def _coord_objects(
                 items.append(" ".join(span))
                 return items
             return []
+        if e2 == len(pairs) - 1 and pairs[e2][1]:
+            # bare comma list closing the SENTENCE without "and"
+            # ("acquired iron foods, golden software.") — promoted in
+            # round 5. The appositive-rename confound ("iron foods, a
+            # maker of snacks.") opens with a determiner/partitive, so
+            # those reject; a det-less rename ("iron foods, maker of
+            # snacks") still rejects above because its "of" stops the span
+            # short of the sentence end.
+            if pairs[nxt][0] in _DETS or pairs[nxt][0] in _PARTITIVES:
+                return []
+            items.append(" ".join(span))
+            return items
         items.append(" ".join(span))
         j = e2
     return []
@@ -913,6 +955,11 @@ _APPOSITIVE = re.compile(r",[^,]{1,60},(?!\s*and\b)")
 # B, and C" is still an appositive because the chain to ", and" crosses
 # the clause verb.
 _OXFORD_CHAIN = re.compile(r"(?:[^,]{1,60},){1,8}\s*and\b")
+# bare-list continuation (round-5): comma items running verb-free to the
+# SENTENCE END protect interior conjuncts of an and-less list ("acquired
+# A, B, C.") the same way the ", and" terminator protects an Oxford list;
+# a chain crossing the clause verb is still an appositive and strips.
+_BARE_TERMINAL_CHAIN = re.compile(r"(?:[^,]{1,60},){0,8}[^,]{1,60}[.!?]\s*$")
 
 
 def _strip_appositives(sentence: str) -> str:
@@ -924,11 +971,13 @@ def _strip_appositives(sentence: str) -> str:
             and not any(t in _VERB_FORMS or t in _BE for t in toks)
         ):
             chain = _OXFORD_CHAIN.match(m.string, m.end())
+            if chain is None:
+                chain = _BARE_TERMINAL_CHAIN.match(m.string, m.end())
             if chain is not None and not any(
                 _clean_token(t) in _VERB_FORMS or _clean_token(t) in _BE
                 for t in chain.group(0).split()
             ):
-                return m.group(0)  # interior Oxford-list conjunct — keep
+                return m.group(0)  # interior list conjunct — keep
             return " "
         return m.group(0)
 

@@ -66,6 +66,70 @@ def entity_profile(edges_day_df: DataFrame, k: int = 20) -> DataFrame:
     ).limit(k)
 
 
+def entity_profile_table_approx(
+    edges_day_df: DataFrame, lg_k: int = 12
+) -> DataFrame:
+    """Sketch twin of ``entity_profile_table`` (round-5, BACKLOG #12 /
+    round-4 verdict #6, the two_hop_reach_approx pattern): the exact
+    ``count_distinct("pred")`` becomes a DataSketches HLL estimate. The
+    exact form shuffles one distinct (node, pred) row per surviving pair;
+    at crawl scale a hub node's distinct-predicate set is rebuilt on every
+    incremental recompute, while the sketch aggregates map-side into a
+    constant-size buffer per node and unions associatively — the shape
+    that also lets profiles be maintained INCREMENTALLY by unioning
+    per-partition sketches instead of re-deduplicating history. Standard
+    error ≈ 1.04/√2^lg_k (~1.6% at lg_k=12). All other columns are exact
+    and identical to the exact twin. Columns: node, out_edges, in_edges,
+    n_preds_est (double), first_day, last_day."""
+    roles = edges_day_df.select(
+        F.col("subj_id").alias("node"), "pred", "day", F.lit(1).alias("is_out")
+    ).unionAll(
+        edges_day_df.select(
+            F.col("obj_id").alias("node"), "pred", "day", F.lit(0).alias("is_out")
+        )
+    )
+    return roles.groupBy("node").agg(
+        F.sum("is_out").alias("out_edges"),
+        F.sum(1 - F.col("is_out")).alias("in_edges"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("pred", F.lit(lg_k)))
+        .cast("double")
+        .alias("n_preds_est"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+def daily_active_nodes(edges_day_df: DataFrame) -> DataFrame:
+    """Exact distinct active nodes (either role) per crawl day.
+    Columns: day, n_nodes. At crawl scale the exact form must shuffle the
+    full distinct (day, node) set — |V| rows PER DAY — which is the
+    canonical HLL use case; the approx twin below is the serving path."""
+    nodes = edges_day_df.select(
+        "day", F.col("subj_id").alias("node")
+    ).unionAll(edges_day_df.select("day", F.col("obj_id").alias("node")))
+    return nodes.groupBy("day").agg(
+        F.count_distinct("node").alias("n_nodes")
+    )
+
+
+def daily_active_nodes_approx(
+    edges_day_df: DataFrame, lg_k: int = 12
+) -> DataFrame:
+    """HLL twin of ``daily_active_nodes``: per-day sketches build map-side
+    (constant bytes per day per task, no (day, node) dedup shuffle) and
+    union associatively — day partitions can each carry a persisted sketch
+    that rolls up to arbitrary windows without touching node ids again.
+    Columns: day, n_nodes_est (double)."""
+    nodes = edges_day_df.select(
+        "day", F.col("subj_id").alias("node")
+    ).unionAll(edges_day_df.select("day", F.col("obj_id").alias("node")))
+    return nodes.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("node", F.lit(lg_k)))
+        .cast("double")
+        .alias("n_nodes_est")
+    )
+
+
 def two_hop_reach(edges_df: DataFrame, k: int = 20) -> DataFrame:
     """Distinct nodes reachable in 1 or 2 directed hops (seed excluded),
     per seed; top-k by (reach desc, node). Columns: node, reach."""

@@ -286,3 +286,57 @@ def test_lpa_early_exit_preserves_semantics(spark):
                 for r in label_propagation(df, iterations=iterations, k=100).collect()
             }
             assert got == simulate(pairs, iterations), (pairs, iterations)
+
+
+def test_entity_profile_approx_tracks_exact(spark):
+    """The HLL twin of the profile table (round-5, BACKLOG #12) must agree
+    with the exact profile on every exact column and estimate n_preds
+    within HLL tolerance (exact in sparse mode at these cardinalities)."""
+    from kgforge.graph.analytics import (
+        entity_profile_table,
+        entity_profile_table_approx,
+    )
+
+    rows = [
+        ("hub", f"pred{i % 7}", f"n{i}", "u", i, f"2025-01-{1 + i % 9:02d}")
+        for i in range(60)
+    ]
+    rows += [(f"m{i}", "supplies", "hub", "u", 0, "2025-01-05") for i in range(15)]
+    e = _edges(spark, rows)
+    exact = {
+        r["node"]: tuple(r)
+        for r in entity_profile_table(e).collect()
+    }
+    est = {
+        r["node"]: tuple(r)
+        for r in entity_profile_table_approx(e).collect()
+    }
+    assert set(est) == set(exact)
+    for node, (_, out_e, in_e, n_preds, lo, hi) in exact.items():
+        _, out_a, in_a, n_est, lo_a, hi_a = est[node]
+        assert (out_a, in_a, lo_a, hi_a) == (out_e, in_e, lo, hi)
+        assert abs(n_est - n_preds) <= max(1, 0.05 * n_preds), (node, n_est, n_preds)
+
+
+def test_daily_active_nodes_approx_tracks_exact(spark):
+    """Per-day distinct-node rollup: the sketch path must track the exact
+    count within HLL tolerance on a skewed multi-day fixture."""
+    from kgforge.graph.analytics import (
+        daily_active_nodes,
+        daily_active_nodes_approx,
+    )
+
+    rows = []
+    for d in range(6):
+        day = f"2025-02-{d + 1:02d}"
+        # hot entity present every day + a per-day cohort with overlap
+        rows += [("hub", "p", f"n{d}_{i}", "u", 0, day) for i in range(10 + d * 5)]
+        rows += [(f"n{d}_{i}", "p", "hub", "u", 0, day) for i in range(5)]
+    e = _edges(spark, rows)
+    exact = {r["day"]: r["n_nodes"] for r in daily_active_nodes(e).collect()}
+    est = {
+        r["day"]: r["n_nodes_est"] for r in daily_active_nodes_approx(e).collect()
+    }
+    assert set(est) == set(exact)
+    for day, want in exact.items():
+        assert abs(est[day] - want) <= max(1, 0.05 * want), (day, est[day], want)
