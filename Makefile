@@ -17,6 +17,9 @@ correctness:
 scaling:
 	$(PY) tools/run_scaling.py --docs 300000 --levels 4,16 --repeats 2
 
+skew:
+	$(PY) tools/run_skew_bench.py --edges 1000000 --cpus 16
+
 pipeline:
 	$(PY) jobs/run_pipeline.py --sf small --out /tmp/kgforge_out
 

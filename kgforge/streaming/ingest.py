@@ -117,6 +117,92 @@ def stream_extract_edges(
     )
 
 
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """Lineage identity = a uuid minted into the checkpoint dir on first
+    use, NOT the directory path: a deleted-and-recreated checkpoint at the
+    same path restarts batch ids, gets a fresh uuid, and trips the loud
+    mismatch in ``_marker_last_applied`` instead of silently skipping
+    every batch (round-4 review pass 2, finding #3). Shared by every
+    state-maintaining foreachBatch stream."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    id_file = os.path.join(checkpoint_dir, "kgforge_lineage_id")
+    if not os.path.exists(id_file):
+        tmp_id = id_file + ".tmp"
+        with open(tmp_id, "w") as f:
+            f.write(uuid.uuid4().hex)
+        os.replace(tmp_id, id_file)
+    return open(id_file).read().strip()
+
+
+def _marker_last_applied(
+    marker: str, checkpoint_dir: str, ckpt_identity: str, state_dir: str
+) -> int:
+    """Read a state-dir ``_LATEST`` marker under the exactly-once lineage
+    guard; returns the last applied batch id (-1 when no marker).
+
+    Legacy PATH-format markers (pre-uuid) are accepted ONLY when the
+    checkpoint actually contains the streaming commit record for the
+    marker's batch id — a path match alone is NOT lineage continuity: a
+    checkpoint deleted and recreated at the same path restarts batch ids
+    at 0, and accepting the stale marker would skip every replayed batch
+    forever (round-5 ADVICE). On acceptance the marker is rewritten with
+    the uuid IMMEDIATELY. Any other identity mismatch raises."""
+    import json
+    import os
+
+    if not os.path.exists(marker):
+        return -1
+    rec = json.loads(open(marker).read())
+    if not isinstance(rec, dict):
+        raise RuntimeError(
+            f"state marker at {marker} uses the legacy plain-int format:"
+            " this state predates checkpoint-lineage tracking and cannot"
+            " be safely resumed. Start from an empty state dir (or rebuild"
+            " from the batch recompute)."
+        )
+    if rec["checkpoint"] == os.path.abspath(checkpoint_dir):
+        commit_file = os.path.join(
+            checkpoint_dir, "commits", str(int(rec["batch_id"]))
+        )
+        if not os.path.exists(commit_file):
+            raise RuntimeError(
+                f"state at {state_dir} carries a legacy path-format marker"
+                f" for batch {rec['batch_id']} but the checkpoint at"
+                f" {checkpoint_dir} has no commit record for that batch:"
+                " the checkpoint was deleted/recreated, so batch ids are"
+                " not comparable and the merge cannot be made exactly-once."
+                " Keep the original checkpoint dir, or start from an empty"
+                " state dir."
+            )
+        _flip_marker(marker, ckpt_identity, int(rec["batch_id"]))
+    elif rec["checkpoint"] != ckpt_identity:
+        raise RuntimeError(
+            f"state at {state_dir} belongs to checkpoint"
+            f" {rec['checkpoint']!r} but this stream uses"
+            f" {ckpt_identity!r}: batch ids are not comparable across"
+            " checkpoint lineages, so the merge cannot be made"
+            " exactly-once. Keep the original checkpoint dir, or start"
+            " from an empty state dir."
+        )
+    return int(rec["batch_id"])
+
+
+def _flip_marker(marker: str, ckpt_identity: str, batch_id: int) -> None:
+    """Atomically point ``_LATEST`` at a committed state version — always
+    AFTER the version's data write, so a crash between them leaves the
+    previous pointer valid."""
+    import json
+    import os
+
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"checkpoint": ckpt_identity, "batch_id": batch_id}, f)
+    os.replace(tmp, marker)
+
+
 def _edge_latest_agg(edges: DataFrame) -> DataFrame:
     """Per-edge upsert record for one micro-batch — the SHARED batch
     definition (graph.analytics.edge_latest_state), so the streaming state
@@ -216,83 +302,13 @@ def stream_upsert_edge_latest(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(input_dir).withWatermark("warc_ts", "1 day")
     os.makedirs(state_dir, exist_ok=True)
-
-    # lineage identity = a uuid minted into the checkpoint dir on first
-    # use, NOT the directory path: a deleted-and-recreated checkpoint at
-    # the same path restarts batch ids, gets a fresh uuid, and trips the
-    # loud mismatch below instead of silently skipping every batch
-    # (round-4 review pass 2, finding #3)
-    import uuid
-
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    id_file = os.path.join(checkpoint_dir, "kgforge_lineage_id")
-    if not os.path.exists(id_file):
-        tmp_id = id_file + ".tmp"
-        with open(tmp_id, "w") as f:
-            f.write(uuid.uuid4().hex)
-        os.replace(tmp_id, id_file)
-    ckpt_identity = open(id_file).read().strip()
+    ckpt_identity = _checkpoint_identity(checkpoint_dir)
 
     def process_batch(batch_df, batch_id: int):
-        import json
-
         marker = os.path.join(state_dir, "_LATEST")
-        last_applied = -1
-        if os.path.exists(marker):
-            rec = json.loads(open(marker).read())
-            if not isinstance(rec, dict):
-                raise RuntimeError(
-                    f"edge-latest state marker at {marker} uses the legacy"
-                    " plain-int format: this state predates checkpoint-"
-                    "lineage tracking and cannot be safely resumed. Start"
-                    " from an empty state dir (or rebuild via the batch"
-                    " edge_latest_state)."
-                )
-            if rec["checkpoint"] == os.path.abspath(checkpoint_dir):
-                # one-time migration from the previous marker format that
-                # identified the lineage by directory PATH. A path match
-                # alone is NOT lineage continuity: a checkpoint dir deleted
-                # and recreated at the same path restarts batch ids at 0,
-                # and accepting the stale marker would then skip every
-                # replayed batch (batch_id <= last_applied) forever — the
-                # exact corruption the uuid exists to prevent (round-5
-                # ADVICE). Require the checkpoint to actually contain the
-                # streaming commit record for the marker's batch id, and
-                # rewrite the marker with the uuid IMMEDIATELY (not "on the
-                # next merge", which never comes while batches are being
-                # skipped).
-                commit_file = os.path.join(
-                    checkpoint_dir, "commits", str(int(rec["batch_id"]))
-                )
-                if not os.path.exists(commit_file):
-                    raise RuntimeError(
-                        "edge-latest state at "
-                        f"{state_dir} carries a legacy path-format marker for"
-                        f" batch {rec['batch_id']} but the checkpoint at"
-                        f" {checkpoint_dir} has no commit record for that"
-                        " batch: the checkpoint was deleted/recreated, so"
-                        " batch ids are not comparable and the merge cannot"
-                        " be made exactly-once. Keep the original checkpoint"
-                        " dir, or start from an empty state dir."
-                    )
-                mig_tmp = marker + ".tmp"
-                with open(mig_tmp, "w") as f:
-                    json.dump(
-                        {"checkpoint": ckpt_identity,
-                         "batch_id": int(rec["batch_id"])},
-                        f,
-                    )
-                os.replace(mig_tmp, marker)
-            elif rec["checkpoint"] != ckpt_identity:
-                raise RuntimeError(
-                    "edge-latest state at "
-                    f"{state_dir} belongs to checkpoint {rec['checkpoint']!r}"
-                    f" but this stream uses {ckpt_identity!r}: batch ids are"
-                    " not comparable across checkpoint lineages, so the"
-                    " merge cannot be made exactly-once. Keep the original"
-                    " checkpoint dir, or start from an empty state dir."
-                )
-            last_applied = int(rec["batch_id"])
+        last_applied = _marker_last_applied(
+            marker, checkpoint_dir, ckpt_identity, state_dir
+        )
         if batch_id <= last_applied:
             return  # replay of an already-merged batch — exactly-once skip
         cur = read_edge_latest_state(batch_df.sparkSession, state_dir)
@@ -301,10 +317,139 @@ def stream_upsert_edge_latest(
         )
         out = os.path.join(state_dir, f"state_v{batch_id}")
         merge_edge_states(cur, batch_agg).write.mode("overwrite").parquet(out)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"checkpoint": ckpt_identity, "batch_id": batch_id}, f)
-        os.replace(tmp, marker)  # atomic pointer flip AFTER the data write
+        _flip_marker(marker, ckpt_identity, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_degree_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current incrementally-maintained (day, node, degree) table (None
+    before the first applied batch)."""
+    import json
+    import os
+
+    marker = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(marker):
+        return None
+    rec = json.loads(open(marker).read())
+    return spark.read.parquet(
+        os.path.join(state_dir, f"degree_v{rec['batch_id']}")
+    )
+
+
+def stream_degree_over_time(
+    spark: SparkSession,
+    input_dir: str,
+    alias_map_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    backend: str = "mock",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental maintenance of the ``kg_degree_over_time`` table
+    (round-4 verdict stretch #10, composing streaming with the analytics
+    layer): each micro-batch's canonical edges update a persisted
+    per-(day, node) degree table that always equals the batch
+    ``graph.temporal.degree_over_time`` recompute over all input so far
+    (equivalence asserted in tests/test_stateful_streaming.py).
+
+    Distinct-edge semantics across batches: degree counts DISTINCT
+    (day, src, dst) — an edge re-asserted in a later batch must not
+    re-count — so the state carries two tables per version: ``edges_v<id>``
+    (the cumulative distinct edge set) and ``degree_v<id>``. A batch's
+    NEW edges = batch-distinct edges anti-joined against the standing set;
+    only their endpoint contributions merge into the degree table (full
+    outer sum). Exactly-once discipline is shared with
+    ``stream_upsert_edge_latest`` (same uuid lineage identity, versioned
+    overwrite writes, atomic ``_LATEST`` flip last, replayed batch ids
+    skipped).
+
+    Scale path: offline stand-in rewrites both state tables per batch; in
+    production the edge set is the day-partitioned edge table itself
+    (MERGE INTO on (day, src, dst) touching only the batch's day
+    partitions) and the degree merge is a MERGE INTO keyed on (day, node)
+    — per-batch IO proportional to the batch's days, not history."""
+    import os
+
+    from kgforge.stages.canonicalize import edges_with_day, rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+
+    mention_map = spark.read.parquet(alias_map_path).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    reader = spark.readStream.schema(WEBDOCS_DDL).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir).withWatermark("warc_ts", "1 day")
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_identity = _checkpoint_identity(checkpoint_dir)
+
+    def process_batch(batch_df, batch_id: int):
+        import json
+
+        sess = batch_df.sparkSession
+        marker = os.path.join(state_dir, "_LATEST")
+        last_applied = _marker_last_applied(
+            marker, checkpoint_dir, ckpt_identity, state_dir
+        )
+        if batch_id <= last_applied:
+            return
+        edges = edges_with_day(
+            rewrite_triples(extract_docstream(batch_df, backend=backend), mention_map)
+        )
+        batch_edges = edges.select(
+            "day", F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        ).distinct()
+        cur_edges = None
+        if os.path.exists(marker):
+            rec = json.loads(open(marker).read())
+            cur_edges = sess.read.parquet(
+                os.path.join(state_dir, f"edges_v{rec['batch_id']}")
+            )
+        new_edges = (
+            batch_edges.join(cur_edges, ["day", "src", "dst"], "left_anti")
+            if cur_edges is not None
+            else batch_edges
+        ).localCheckpoint()
+        new_deg = (
+            new_edges.select("day", F.col("src").alias("node"))
+            .unionAll(new_edges.select("day", F.col("dst").alias("node")))
+            .groupBy("day", "node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        cur_deg = read_degree_state(sess, state_dir)
+        if cur_deg is not None:
+            d = new_deg.select(
+                "day", "node", F.col("degree").alias("degree_b")
+            )
+            merged = (
+                cur_deg.join(d, ["day", "node"], "full_outer")
+                .select(
+                    "day",
+                    "node",
+                    (
+                        F.coalesce(F.col("degree"), F.lit(0))
+                        + F.coalesce(F.col("degree_b"), F.lit(0))
+                    ).alias("degree"),
+                )
+            )
+        else:
+            merged = new_deg
+        all_edges = (
+            cur_edges.unionAll(new_edges) if cur_edges is not None else new_edges
+        )
+        all_edges.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"edges_v{batch_id}")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"degree_v{batch_id}")
+        )
+        _flip_marker(marker, ckpt_identity, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

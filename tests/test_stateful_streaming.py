@@ -54,3 +54,79 @@ def test_stateful_sessionize(spark, tmp_path):
         "user_id", "session_start", "n_events"
     ).count().where("count > 1").collect()
     assert rows2 == []  # no duplicated session rows
+
+
+def test_stream_degree_over_time_matches_batch(spark, tmp_path):
+    """Round-5 stretch (round-4 verdict #10): the incrementally-maintained
+    (day, node, degree) state must equal the batch degree aggregation
+    (distinct-(day,src,dst) semantics) over all input after multi-batch
+    ingest; a catch-up run with no new files changes nothing; newly
+    arriving overlapping docs merge to the grown batch result."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from kgforge.fixtures.gen import write_fixture_tables
+    from kgforge.stages.canonicalize import edges_with_day, rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+    from kgforge.streaming.ingest import (
+        read_degree_state,
+        stream_degree_over_time,
+    )
+
+    fx = str(tmp_path / "fxd")
+    webdocs_path, alias_path = write_fixture_tables(spark, fx, 70, partitions=3)
+    amap_path = str(tmp_path / "alias_map_d")
+    alias_resolution(spark.read.parquet(alias_path)).write.parquet(amap_path)
+
+    def batch_rows(src_path):
+        mention_map = spark.read.parquet(amap_path).select(
+            F.col("alias").alias("mention"), "canon_id"
+        )
+        e = edges_with_day(
+            rewrite_triples(
+                extract_docstream(spark.read.parquet(src_path)), mention_map
+            )
+        ).select(
+            "day", F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        ).distinct()
+        deg = (
+            e.select("day", F.col("src").alias("node"))
+            .unionAll(e.select("day", F.col("dst").alias("node")))
+            .groupBy("day", "node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return sorted(tuple(r) for r in deg.collect())
+
+    state, ckpt = str(tmp_path / "dstate"), str(tmp_path / "dckpt")
+    q = stream_degree_over_time(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    versions = [d for d in os.listdir(state) if d.startswith("degree_v")]
+    assert len(versions) >= 2  # multiple micro-batches actually merged
+    got = sorted(tuple(r) for r in read_degree_state(spark, state).collect())
+    assert got == batch_rows(webdocs_path)
+    assert len(got) > 0
+
+    # catch-up with no new input: state unchanged
+    q2 = stream_degree_over_time(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    q2.awaitTermination(180)
+    assert sorted(tuple(r) for r in read_degree_state(spark, state).collect()) == got
+
+    # overlapping re-crawl arrives (same urls/days re-asserted + new docs):
+    # distinct-edge semantics must hold — equality with the batch recompute
+    # over the GROWN input, not double-counted increments
+    fx2 = str(tmp_path / "fxd2")
+    more_path, _ = write_fixture_tables(spark, fx2, 30, partitions=1)
+    for i, f in enumerate(glob.glob(os.path.join(more_path, "*.parquet"))):
+        os.link(f, os.path.join(webdocs_path, f"grow_{i}.parquet"))
+    q3 = stream_degree_over_time(
+        spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
+    )
+    q3.awaitTermination(180)
+    got2 = sorted(tuple(r) for r in read_degree_state(spark, state).collect())
+    assert got2 == batch_rows(webdocs_path)
