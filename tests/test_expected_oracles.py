@@ -43,6 +43,7 @@ def _spark_rows(df) -> set[tuple]:
         "kg_mentions",
         "kg_linked_fuzzy",
         "kg_cooccur",
+        "kg_daily_nodes",
         "kg_entity_profile",
         "kg_two_hop",
         "kg_triangles",
