@@ -74,6 +74,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from kgforge.queries import BENCH_QUERIES
 
     qs = {**BENCH_QUERIES, **queries()}
+    # JVM/session warmup OUTSIDE the timed loop: the first action pays
+    # session init + whole-stage-codegen compilation (~5 s) which the
+    # FIRST headline query (pricing_summary) was silently absorbing —
+    # measured 6.5 s recorded vs ~0.7 s steady-state. Same discipline as
+    # warm_python_workers for the KG phases: steady-state cost is the
+    # quantity that scales, startup amortizes to zero on a real cluster.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).groupBy(
+        "l_returnflag"
+    ).count().collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

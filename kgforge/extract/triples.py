@@ -1001,6 +1001,43 @@ def _is_participle(tok: str) -> bool:
     return v
 
 
+# one memoized bitmask per distinct token collapses the main loop's six
+# tier-guard set probes into a single dict lookup (round-5 profile: the
+# loop head dominated extract_triples tottime). Bits mirror the original
+# membership tests EXACTLY — the tiers' remaining conditions (boundary,
+# neighbors) stay inline.
+_TC_PART = 1  # _is_participle(tok)
+_TC_BE = 2  # tok in _BE
+_TC_ASP = 4  # tok in _ASPECTUAL
+_TC_ASPNEG = 8  # tok in _ASPECTUAL_NEG
+_TC_LEX = 16  # tok opens a REL_LEXICON entry
+_TC_OPENV = 32  # tok in _VERB_FORMS and not _AUX and not _STOPWORDS
+_TOKCLASS_CACHE: dict[str, int] = {}
+
+
+def _token_class(tok: str) -> int:
+    c = _TOKCLASS_CACHE.get(tok)
+    if c is None:
+        if len(_TOKCLASS_CACHE) >= _CLEAN_CACHE_CAP:
+            _TOKCLASS_CACHE.clear()
+        c = (
+            (_TC_PART if _is_participle(tok) else 0)
+            | (_TC_BE if tok in _BE else 0)
+            | (_TC_ASP if tok in _ASPECTUAL else 0)
+            | (_TC_ASPNEG if tok in _ASPECTUAL_NEG else 0)
+            | (_TC_LEX if tok in _REL_BY_FIRST else 0)
+            | (
+                _TC_OPENV
+                if tok in _VERB_FORMS
+                and tok not in _AUX
+                and tok not in _STOPWORDS
+                else 0
+            )
+        )
+        _TOKCLASS_CACHE[tok] = c
+    return c
+
+
 # reduced-passive/locative appositive: ", founded by elena novak," /
 # ", based in berlin," (also clause-final) — a verb-bearing segment, so
 # the generic _APPOSITIVE strip correctly keeps it, but it still blocks
@@ -1251,12 +1288,18 @@ def extract_triples(
     n = len(tokens)
     while i < n:
         tok = tokens[i]
+        cls = _token_class(tok)
+        if not cls:
+            # inert token: cannot open any tier (single memoized probe
+            # replaces the six set tests below — round-5 profile)
+            i += 1
+            continue
         # tier 2a — passive agent: BE + V-ed + [short PP/adverb run] +
         # "by" → active-voice triple ("was acquired by X", "was founded
         # in 2004 by X"). The intervening run is capped at 4 verb-free,
         # punctuation-free tokens and must open with a preposition or
         # adverb — beyond that the "by" is too far to attribute safely.
-        if _is_participle(tok) and not boundary[i] and i > 0 and tokens[i - 1] in _BE:
+        if cls & _TC_PART and not boundary[i] and i > 0 and tokens[i - 1] in _BE:
             by_ix = -1
             if i + 1 < n and tokens[i + 1] == "by" and not boundary[i + 1]:
                 by_ix = i + 1
@@ -1306,7 +1349,7 @@ def extract_triples(
         # by the copula and closed by "of" (unanchored noun W* without POS
         # costs too much precision). A verb form inside the NP rejects the
         # match (that is a passive/progressive, handled by other tiers).
-        if tok in _BE and not boundary[i]:
+        if cls & _TC_BE and not boundary[i]:
             j = i + 1
             negated_np = False
             if j < n and tokens[j] in _NEGATORS and not boundary[j]:
@@ -1355,7 +1398,7 @@ def extract_triples(
         # ("plans to acquire", "agreed to merge with"); negative-control
         # verbs ("refused to acquire") suppress like negators
         if (
-            (tok in _ASPECTUAL or tok in _ASPECTUAL_NEG)
+            cls & (_TC_ASP | _TC_ASPNEG)
             and not boundary[i]
             and i + 2 < n
             and tokens[i + 1] == "to"
@@ -1391,8 +1434,8 @@ def extract_triples(
         # tier 1 — closed lexicon, longest match (first-token index;
         # buckets are longest-first so the first hit IS the longest)
         match: tuple[str, ...] | None = None
-        bucket = _REL_BY_FIRST.get(tok)
-        if bucket is not None:
+        if cls & _TC_LEX:
+            bucket = _REL_BY_FIRST[tok]
             for rel in bucket:
                 k = len(rel)
                 if i + k <= n and all(
@@ -1427,7 +1470,7 @@ def extract_triples(
             i += k
             continue
         # tier 2b — open pattern: V | V P | V ADV* P
-        if tok in _VERB_FORMS and tok not in _AUX and tok not in _STOPWORDS:
+        if cls & _TC_OPENV:
             rel_end = i
             if not boundary[i]:
                 j = i + 1
