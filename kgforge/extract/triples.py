@@ -528,6 +528,21 @@ def _trim_obj(
         # telecom" — the entity is the NP after the partitive, not the
         # quantity (round-4 promotion of the quantity-object trap)
         return _trim_obj(pairs, stopped_at + 1)
+    # trailing temporal adjunct absorbed into the span ("joined acme corp
+    # LAST YEAR" — common after an appositive strip removes the comma that
+    # would have closed the span; round-5 review follow-up): trim a
+    # trailing run of temporal words, but only when it is ≥ 2 tokens
+    # ("last year") or a single discourse/date adverb ("yesterday") —
+    # a lone _TEMPORAL_WORDS token may legitimately end an entity name
+    # and is kept.
+    k = len(out)
+    while k > 1 and (
+        out[k - 1] in _TEMPORAL_WORDS or out[k - 1] in _SENT_ADVERBS
+    ):
+        k -= 1
+    if k < len(out) and (len(out) - k >= 2 or out[-1] in _SENT_ADVERBS):
+        end -= len(out) - k
+        out = out[:k]
     return out, end, stopped_at
 
 
@@ -708,6 +723,7 @@ def _coord_objects(
                 return [" ".join(span)]
         return []
     items: list[str] = []
+    bare_meta: list[tuple[str, list[str]]] = []  # (opener, span) per item
     j = end
     for _ in range(8):  # bounded list length
         if j < 0 or j >= len(pairs) or not raw[j].endswith(","):
@@ -727,18 +743,44 @@ def _coord_objects(
         if e2 == len(pairs) - 1 and pairs[e2][1]:
             # bare comma list closing the SENTENCE without "and"
             # ("acquired iron foods, golden software.") — promoted in
-            # round 5. The appositive-rename confound ("iron foods, a
-            # maker of snacks.") opens with a determiner/partitive, so
-            # those reject; a det-less rename ("iron foods, maker of
-            # snacks") still rejects above because its "of" stops the span
-            # short of the sentence end.
-            if pairs[nxt][0] in _DETS or pairs[nxt][0] in _PARTITIVES:
+            # round 5, with guards validated on EVERY item (round-5
+            # review finding #1: the det guard originally checked only
+            # the final item, so "hired A, B, last week." coordinated
+            # the trailing temporal adjunct as an object):
+            # - a determiner/partitive opener anywhere is the appositive-
+            #   rename signature ("iron foods, a maker of snacks.") —
+            #   reject the whole list reading;
+            # - an INTERIOR temporal/adverbial item makes the list
+            #   reading unsafe — reject;
+            # - a TRAILING temporal/adverbial item is an adjunct, not a
+            #   conjunct — drop it and commit the real conjuncts.
+            opener = pairs[nxt][0]
+            if opener in _DETS or opener in _PARTITIVES or any(
+                op in _DETS or op in _PARTITIVES for op, _sp in bare_meta
+            ):
                 return []
+            if any(_is_adjunct_item(op, sp) for op, sp in bare_meta):
+                return []
+            if _is_adjunct_item(opener, span):
+                return items  # trailing adjunct dropped
             items.append(" ".join(span))
             return items
         items.append(" ".join(span))
+        bare_meta.append((pairs[nxt][0], span))
         j = e2
     return []
+
+
+def _is_adjunct_item(opener: str, span: list[str]) -> bool:
+    """A comma item that reads as a temporal/manner adjunct rather than an
+    entity conjunct: temporal/discourse opener ("last week", "yesterday")
+    or an all-adverbial span."""
+    if opener in _TEMPORAL_WORDS or opener in _SENT_ADVERBS:
+        return True
+    return all(
+        t in _TEMPORAL_WORDS or t in _SENT_ADVERBS or t in _MANNER_ADVERBS
+        for t in span
+    )
 
 
 # zh function-word prefixes a greedy CJK subject span can absorb (temporal
@@ -971,13 +1013,43 @@ def _strip_appositives(sentence: str) -> str:
             and not any(t in _VERB_FORMS or t in _BE for t in toks)
         ):
             chain = _OXFORD_CHAIN.match(m.string, m.end())
-            if chain is None:
-                chain = _BARE_TERMINAL_CHAIN.match(m.string, m.end())
-            if chain is not None and not any(
-                _clean_token(t) in _VERB_FORMS or _clean_token(t) in _BE
-                for t in chain.group(0).split()
-            ):
-                return m.group(0)  # interior list conjunct — keep
+            if chain is not None:
+                if not any(
+                    _clean_token(t) in _VERB_FORMS or _clean_token(t) in _BE
+                    for t in chain.group(0).split()
+                ):
+                    return m.group(0)  # interior Oxford-list conjunct — keep
+                return " "
+            chain = _BARE_TERMINAL_CHAIN.match(m.string, m.end())
+            if chain is not None:
+                # bare (and-less) terminal chain: protect ONLY when the
+                # candidate segment AND every chain item read as entity
+                # conjuncts — verb-free, and no determiner/partitive/
+                # temporal/discourse opener. Round-5 review finding #2:
+                # without the opener checks, a genuine appositive followed
+                # by a verb-free adjunct ("…, a chipmaker, last year.")
+                # was protected and then mis-coordinated as an object.
+                segs = [
+                    seg.split()
+                    for seg in chain.group(0).rstrip(".!?").split(",")
+                    if seg.split()
+                ]
+                openers = [toks[0]] + [_clean_token(seg[0]) for seg in segs]
+                # a temporal/discourse opener is allowed on the FINAL
+                # chain item only — that is the trailing adjunct
+                # _coord_objects drops ("…, ivan petrov, last week.");
+                # anywhere else it breaks the list reading
+                non_final = openers[:-1] if len(openers) > 1 else openers
+                if not any(
+                    _clean_token(t) in _VERB_FORMS or _clean_token(t) in _BE
+                    for t in chain.group(0).split()
+                ) and not any(
+                    o in _DETS or o in _PARTITIVES for o in openers
+                ) and not any(
+                    o in _TEMPORAL_WORDS or o in _SENT_ADVERBS
+                    for o in non_final
+                ):
+                    return m.group(0)  # interior bare-list conjunct — keep
             return " "
         return m.group(0)
 

@@ -200,28 +200,37 @@ def two_hop_reach_approx(
     # their edges; everything else shuffles normally, with residual
     # per-task input bounded by the (K+1)-th largest in-degree. Same
     # hot/cold discipline as sameas_candidates' exact-verify split.
-    hot_dsts = (
-        e.groupBy("dst")
-        .agg(F.count(F.lit(1)).alias("ind"))
-        .where(F.col("ind") >= TWO_HOP_HOT_MIN_DEGREE)
-        .orderBy(F.desc("ind"), F.asc("dst"))
-        .limit(TWO_HOP_HOT_K)
-        .select("dst")
-    )
-    e_hot = e.join(F.broadcast(hot_dsts), "dst", "left_semi")
-    e_cold = e.join(F.broadcast(hot_dsts), "dst", "left_anti")
-    hot_sk = nbr_sk.join(
-        F.broadcast(hot_dsts.withColumnRenamed("dst", "node")), "node", "left_semi"
-    )
-    hop_hot = e_hot.join(
-        F.broadcast(hot_sk), e_hot["dst"] == hot_sk["node"]
-    ).select("src", "sk")
-    hop_cold = e_cold.join(nbr_sk, e_cold["dst"] == nbr_sk["node"]).select(
-        "src", "sk"
-    )
-    contribs = hop_hot.unionAll(hop_cold).unionAll(
-        nbr_sk.select(F.col("node").alias("src"), "sk")
-    )
+    # the hot set is collected to the driver ONCE (bounded: ≤ TWO_HOP_HOT_K
+    # ids — round-5 review finding #4: referencing the hot_dsts DataFrame
+    # from three joins re-ran the degree agg + sort subplan three times,
+    # and hub-free graphs still paid two extra joins). With a literal id
+    # list, hot/cold become isin() FILTERS on the edge scan, and the split
+    # disappears entirely when no dst exceeds the threshold.
+    hot_ids = [
+        r["dst"]
+        for r in (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("ind"))
+            .where(F.col("ind") >= TWO_HOP_HOT_MIN_DEGREE)
+            .orderBy(F.desc("ind"), F.asc("dst"))
+            .limit(TWO_HOP_HOT_K)
+            .collect()
+        )
+    ]
+    if hot_ids:
+        e_hot = e.where(F.col("dst").isin(hot_ids))
+        e_cold = e.where(~F.col("dst").isin(hot_ids))
+        hot_sk = nbr_sk.where(F.col("node").isin(hot_ids))
+        hop_hot = e_hot.join(
+            F.broadcast(hot_sk), e_hot["dst"] == hot_sk["node"]
+        ).select("src", "sk")
+        hop_cold = e_cold.join(nbr_sk, e_cold["dst"] == nbr_sk["node"]).select(
+            "src", "sk"
+        )
+        hop2 = hop_hot.unionAll(hop_cold)
+    else:
+        hop2 = e.join(nbr_sk, e["dst"] == nbr_sk["node"]).select("src", "sk")
+    contribs = hop2.unionAll(nbr_sk.select(F.col("node").alias("src"), "sk"))
     reach = contribs.groupBy(F.col("src").alias("node")).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double").alias("reach_est")
     )

@@ -164,14 +164,26 @@ def _marker_last_applied(
             " from the batch recompute)."
         )
     if rec["checkpoint"] == os.path.abspath(checkpoint_dir):
-        commit_file = os.path.join(
-            checkpoint_dir, "commits", str(int(rec["batch_id"]))
+        # continuity witness = offsets/<id>, NOT commits/<id>: Spark writes
+        # the offsets record BEFORE running batch id, so it exists in every
+        # state this marker could legally describe — including the crash
+        # window where foreachBatch flipped the marker but the commit
+        # record was never written (that replay is exactly what the
+        # batch_id <= last_applied guard handles). A checkpoint deleted
+        # and recreated at the same path that never reached this batch id
+        # has no offsets/<id> and is refused. Residual (documented) limit:
+        # a recreated checkpoint independently re-run PAST this batch id
+        # against a different state dir, then re-pointed here, passes —
+        # only the uuid identity (written on acceptance, below) closes
+        # that for all subsequent runs.
+        offsets_file = os.path.join(
+            checkpoint_dir, "offsets", str(int(rec["batch_id"]))
         )
-        if not os.path.exists(commit_file):
+        if not os.path.exists(offsets_file):
             raise RuntimeError(
                 f"state at {state_dir} carries a legacy path-format marker"
                 f" for batch {rec['batch_id']} but the checkpoint at"
-                f" {checkpoint_dir} has no commit record for that batch:"
+                f" {checkpoint_dir} has no offsets record for that batch:"
                 " the checkpoint was deleted/recreated, so batch ids are"
                 " not comparable and the merge cannot be made exactly-once."
                 " Keep the original checkpoint dir, or start from an empty"

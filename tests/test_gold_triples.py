@@ -688,6 +688,17 @@ GOLD = [
     ("团队考察了华光能源和星辰软件。", "zh",
      [("团队", "inspected", "华光能源"),
       ("团队", "inspected", "星辰软件")], True),  # zh object coordination
+    # --- round-5 review regressions, pinned fixed ----------------------
+    ("Blue energy hired maria lopez, ivan petrov, last week.", "en",
+     [("blue energy", "hired", "maria lopez"),
+      ("blue energy", "hired", "ivan petrov")], True),
+    # trailing temporal adjunct is dropped, not coordinated as an object
+    ("Alice lopez joined acme corp, a chipmaker, last year.", "en",
+     [("alice lopez", "joined", "acme corp")], True),
+    # appositive rename + trailing adjunct: neither becomes an object
+    ("Acme corp acquired iron foods, golden software, last month.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("acme corp", "acquired", "golden software")], True),
 ]
 
 

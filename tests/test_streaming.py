@@ -282,7 +282,7 @@ def test_legacy_path_marker_migration_and_corruption_guard(spark, tmp_path):
     )
     assert after != before  # the post-migration batch actually merged
 
-    # corruption case: a legacy path marker whose batch id has NO commit
+    # corruption case: a legacy path marker whose batch id has NO offsets
     # record in the checkpoint (the deleted-and-recreated scenario) must
     # refuse loudly rather than skip replayed batches
     with open(marker, "w") as f:
@@ -294,6 +294,45 @@ def test_legacy_path_marker_migration_and_corruption_guard(spark, tmp_path):
     q3 = stream_upsert_edge_latest(
         spark, webdocs_path, amap_path, state, ckpt, max_files_per_trigger=1
     )
-    with pytest.raises(Exception, match="no commit record"):
+    with pytest.raises(Exception, match="no offsets record"):
         q3.awaitTermination(180)
         raise AssertionError("corrupted-lineage migration should have failed")
+
+
+def test_marker_guard_accepts_crash_window_refuses_recreated(tmp_path):
+    """Unit gate on the lineage-guard helper (round-5 review finding #3):
+    a legacy path-format marker for batch N must be ACCEPTED when the
+    checkpoint's offsets/N exists even though commits/N does not — that is
+    the crash window where foreachBatch flipped the marker and the process
+    died before Spark's checkpoint commit (the replay guard then skips the
+    batch) — and refused when offsets/N is also absent (checkpoint deleted
+    and recreated; batch ids restart, skipping would corrupt)."""
+    import json
+
+    from kgforge.streaming.ingest import (
+        _checkpoint_identity,
+        _marker_last_applied,
+    )
+
+    ckpt = tmp_path / "ck"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "commits").mkdir()
+    (ckpt / "offsets" / "3").write_text("{}")  # written BEFORE batch 3 ran
+    # commits/3 deliberately absent — the crash window
+    ident = _checkpoint_identity(str(ckpt))
+    state = tmp_path / "st"
+    state.mkdir()
+    marker = state / "_LATEST"
+    marker.write_text(
+        json.dumps({"checkpoint": str(ckpt.resolve()), "batch_id": 3})
+    )
+    assert _marker_last_applied(str(marker), str(ckpt), ident, str(state)) == 3
+    # marker rewritten with the uuid IMMEDIATELY on acceptance
+    assert json.loads(marker.read_text())["checkpoint"] == ident
+
+    # recreated checkpoint: marker for batch 5 but no offsets/5 → refuse
+    marker.write_text(
+        json.dumps({"checkpoint": str(ckpt.resolve()), "batch_id": 5})
+    )
+    with pytest.raises(RuntimeError, match="no offsets record"):
+        _marker_last_applied(str(marker), str(ckpt), ident, str(state))

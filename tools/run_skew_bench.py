@@ -219,13 +219,16 @@ def main() -> int:
         "hot_dsts_broadcast": n_hot,
     }
 
+    # the sameAs term gates the DEFENSE (hub actually excluded from
+    # candidate generation), not the cap arithmetic — max-pairs-per-mid
+    # over already-capped mids is true by construction and gated nothing
+    # (round-5 review finding #5)
     gate_ok = (
         mx <= 4 * max(md, 1)
         and mx2 <= 4 * max(md2, 1)
         and out["triangles_oriented_outdeg"]["max"]
         < out["triangles_oriented_outdeg"]["hub_undirected_degree"] / 4
-        and out["sameas_max_pairs_per_mid"]
-        <= SAMEAS_MID_DEGREE_CAP * (SAMEAS_MID_DEGREE_CAP - 1) / 2
+        and out["sameas_hub_excluded"]
     )
     out["skew_gate_max_le_4x_median"] = bool(gate_ok)
     print(json.dumps(out))
