@@ -736,7 +736,7 @@ def test_honest_overall_precision_and_recall():
         f"\ngold-set extractor metrics: P={precision:.3f} R={recall:.3f} "
         f"(tp={tp}, emitted={len(got)}, gold={len(gold)})"
     )
-    # gates sit just under the measured level (P=0.986 / R=0.993 at 262
+    # gates sit just under the measured level (P=0.986 / R=0.993 at 265
     # sentences, round 5) so a regression of more than ~1 point fails
     # loudly instead of hiding under the old 0.85/0.90 tripwires
     # (round-4 verdict next-step #5); growing the adversarial set may
