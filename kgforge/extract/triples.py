@@ -530,18 +530,27 @@ def _trim_obj(
         return _trim_obj(pairs, stopped_at + 1)
     # trailing temporal adjunct absorbed into the span ("joined acme corp
     # LAST YEAR" — common after an appositive strip removes the comma that
-    # would have closed the span; round-5 review follow-up): trim a
-    # trailing run of temporal words, but only when it is ≥ 2 tokens
-    # ("last year") or a single discourse/date adverb ("yesterday") —
-    # a lone _TEMPORAL_WORDS token may legitimately end an entity name
-    # and is kept.
+    # would have closed the span; round-5 review follow-up, hardened by
+    # review pass 2): trim a trailing run of temporal words when it is
+    # ≥ 2 tokens ("last year") or a single discourse/date adverb
+    # ("yesterday"); a span that is ENTIRELY temporal ("last year",
+    # "next march") is an adjunct, never an entity — rejected outright
+    # (a partial trim of it would leave a garbage residual like "next").
+    # A lone _TEMPORAL_WORDS token may legitimately end — or be — an
+    # entity name ("two sigma", "hired summer") and is kept. NOTE: ``end``
+    # deliberately stays at the CLAUSE-closing token even when tokens are
+    # trimmed — callers (_coord_objects) test clause closure and walk
+    # comma lists via pairs[end], and the clause closed where it closed
+    # (review pass 2 finding #1: moving end dropped clean conjuncts).
     k = len(out)
-    while k > 1 and (
+    while k > 0 and (
         out[k - 1] in _TEMPORAL_WORDS or out[k - 1] in _SENT_ADVERBS
     ):
         k -= 1
-    if k < len(out) and (len(out) - k >= 2 or out[-1] in _SENT_ADVERBS):
-        end -= len(out) - k
+    if k == 0 and out:
+        if len(out) >= 2 or out[0] in _SENT_ADVERBS:
+            return [], end, stopped_at
+    elif k < len(out) and (len(out) - k >= 2 or out[-1] in _SENT_ADVERBS):
         out = out[:k]
     return out, end, stopped_at
 
@@ -733,7 +742,31 @@ def _coord_objects(
         if is_final:
             nxt += 1
         span, e2, _stop2 = _trim_obj(pairs, nxt)
-        if not span or any(t in _VERB_FORMS or t in _BE for t in span):
+        if not span:
+            # _trim_obj rejects pure-temporal spans outright (pass-2 trim
+            # rework), so the trailing "..., last week." adjunct arrives
+            # here as an EMPTY span: when it closes the sentence and every
+            # raw token is temporal/discourse, drop it and commit the real
+            # conjuncts gathered so far (same guards as the commit branch)
+            if (
+                not is_final
+                and items
+                and e2 == len(pairs) - 1
+                and pairs[e2][1]
+                and all(
+                    pairs[x][0] in _TEMPORAL_WORDS
+                    or pairs[x][0] in _SENT_ADVERBS
+                    for x in range(nxt, e2 + 1)
+                )
+            ):
+                if any(
+                    op in _DETS or op in _PARTITIVES or _is_adjunct_item(op, sp)
+                    for op, sp in bare_meta
+                ):
+                    return []
+                return items
+            return []
+        if any(t in _VERB_FORMS or t in _BE for t in span):
             return []
         if is_final:
             if pairs[e2][1] or e2 == len(pairs) - 1:
@@ -774,11 +807,18 @@ def _coord_objects(
 def _is_adjunct_item(opener: str, span: list[str]) -> bool:
     """A comma item that reads as a temporal/manner adjunct rather than an
     entity conjunct: temporal/discourse opener ("last week", "yesterday")
-    or an all-adverbial span."""
+    or an all-adverbial span. OBJECT-side sibling of the subject-side
+    ``_is_adverbial_item`` — kept separate because object items see the
+    RAW opener (a det-skipped span) plus manner adverbs, while subject
+    items are reversed suffix walks that admit _REL_ADVERBS; digits count
+    as adjunct vocabulary on both sides ("since 2019" / ", 2019.")."""
     if opener in _TEMPORAL_WORDS or opener in _SENT_ADVERBS:
         return True
     return all(
-        t in _TEMPORAL_WORDS or t in _SENT_ADVERBS or t in _MANNER_ADVERBS
+        t in _TEMPORAL_WORDS
+        or t in _SENT_ADVERBS
+        or t in _MANNER_ADVERBS
+        or t.isdigit()
         for t in span
     )
 

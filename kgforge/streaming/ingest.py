@@ -144,12 +144,15 @@ def _marker_last_applied(
     guard; returns the last applied batch id (-1 when no marker).
 
     Legacy PATH-format markers (pre-uuid) are accepted ONLY when the
-    checkpoint actually contains the streaming commit record for the
-    marker's batch id — a path match alone is NOT lineage continuity: a
-    checkpoint deleted and recreated at the same path restarts batch ids
-    at 0, and accepting the stale marker would skip every replayed batch
-    forever (round-5 ADVICE). On acceptance the marker is rewritten with
-    the uuid IMMEDIATELY. Any other identity mismatch raises."""
+    checkpoint contains the streaming OFFSETS record for the marker's
+    batch id (written before the batch ran — so the crash window where
+    the marker flipped but the commit was never written is accepted and
+    replay-skipped, not refused) — a path match alone is NOT lineage
+    continuity: a checkpoint deleted and recreated at the same path
+    restarts batch ids at 0, and accepting the stale marker would skip
+    every replayed batch forever (round-5 ADVICE). On acceptance the
+    marker is rewritten with the uuid IMMEDIATELY. Any other identity
+    mismatch raises."""
     import json
     import os
 

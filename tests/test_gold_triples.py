@@ -699,6 +699,21 @@ GOLD = [
     ("Acme corp acquired iron foods, golden software, last month.", "en",
      [("acme corp", "acquired", "iron foods"),
       ("acme corp", "acquired", "golden software")], True),
+    # --- round-5 review pass 2: trim must not break clause closure ------
+    ("Acme corp acquired iron foods, golden software, and blue dynamics"
+     " last month.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("acme corp", "acquired", "golden software"),
+      ("acme corp", "acquired", "blue dynamics")], True),
+    ("Blue energy hired maria lopez and ivan petrov last week.", "en",
+     [("blue energy", "hired", "maria lopez"),
+      ("blue energy", "hired", "ivan petrov")], True),
+    ("Blue energy hired maria lopez, ivan petrov, next march.", "en",
+     [("blue energy", "hired", "maria lopez"),
+      ("blue energy", "hired", "ivan petrov")], True),
+    ("Acme corp expanded next march.", "en", [], True),
+    # pure-temporal spans are adjuncts, never objects
+    ("The two companies merged last year.", "en", [], True),
 ]
 
 

@@ -57,7 +57,7 @@ def build_skewed_edges(spark, n_edges: int, hot_share: float = 0.5):
     day = F.concat(
         F.lit("2025-01-"), F.lpad(((h("day") % 28) + 1).cast("string"), 2, "0")
     )
-    return base.select(
+    main = base.select(
         subj.alias("subj_id"),
         F.concat(F.lit("p"), (h("pred") % 12).cast("string")).alias("pred"),
         obj.alias("obj_id"),
@@ -67,6 +67,24 @@ def build_skewed_edges(spark, n_edges: int, hot_share: float = 0.5):
         ),
         day.alias("day"),
     ).where(F.col("subj_id") != F.col("obj_id"))
+    # sameAs defense probes: PROBE_A/PROBE_B share ONLY the hub as a
+    # neighbor (must NOT become a candidate pair — the hub is excluded
+    # from candidate generation); PROBE_C/PROBE_D share only a dedicated
+    # cold mid (MUST become a candidate, jaccard 1.0)
+    import datetime
+
+    ts0 = datetime.datetime(2025, 1, 1)
+    probes = spark.createDataFrame(
+        [
+            ("PROBE_A", "p0", "E_HUB", "up1", ts0, "2025-01-01"),
+            ("PROBE_B", "p0", "E_HUB", "up2", ts0, "2025-01-01"),
+            ("PROBE_C", "p0", "PROBE_MID", "up3", ts0, "2025-01-01"),
+            ("PROBE_D", "p0", "PROBE_MID", "up4", ts0, "2025-01-01"),
+        ],
+        "subj_id string, pred string, obj_id string, url string,"
+        " warc_ts timestamp, day string",
+    )
+    return main.unionAll(probes)
 
 
 def partition_rows(df):
@@ -178,7 +196,21 @@ def main() -> int:
         .collect()[0]["mx"]
     )
     out["sameas_max_pairs_per_mid"] = int(cand_per_mid or 0)
-    out["sameas_hub_excluded"] = hub_und > SAMEAS_MID_DEGREE_CAP
+    # OUTPUT-level defense probe (round-5 review pass 2: degree-threshold
+    # assertions were true by fixture construction and gated nothing):
+    # the planted (PROBE_A, PROBE_B) pair shares ONLY the hub — if the
+    # mid-degree cap in sameas_candidates regressed, the hub generates
+    # their jaccard-1.0 candidate and it ranks top; (PROBE_C, PROBE_D)
+    # share only a cold mid and must be found.
+    sameas_pairs = {
+        (r["e1"], r["e2"])
+        for r in sameas_candidates(edges, top=1_000_000).collect()
+    }
+    out["sameas_probe_cold_found"] = ("PROBE_C", "PROBE_D") in sameas_pairs
+    out["sameas_probe_hub_only_excluded"] = (
+        "PROBE_A",
+        "PROBE_B",
+    ) not in sameas_pairs
 
     # LPA static neighbor table: both directions, hash-partitioned on the
     # join key (node) — the exact pre-partitioning the implementation uses
@@ -219,16 +251,13 @@ def main() -> int:
         "hot_dsts_broadcast": n_hot,
     }
 
-    # the sameAs term gates the DEFENSE (hub actually excluded from
-    # candidate generation), not the cap arithmetic — max-pairs-per-mid
-    # over already-capped mids is true by construction and gated nothing
-    # (round-5 review finding #5)
     gate_ok = (
         mx <= 4 * max(md, 1)
         and mx2 <= 4 * max(md2, 1)
         and out["triangles_oriented_outdeg"]["max"]
         < out["triangles_oriented_outdeg"]["hub_undirected_degree"] / 4
-        and out["sameas_hub_excluded"]
+        and out["sameas_probe_cold_found"]
+        and out["sameas_probe_hub_only_excluded"]
     )
     out["skew_gate_max_le_4x_median"] = bool(gate_ok)
     print(json.dumps(out))
