@@ -118,6 +118,11 @@ _VERB_STEMS = {
     "serve", "ship", "show", "sign", "specialize", "sponsor", "start",
     "succeed", "supervise", "supply", "support", "teach", "transfer",
     "unveil", "visit", "win", "work", "write",
+    # round-5 promotion of the pinned out-of-dictionary misses: "boost"
+    # and "praise" are verb-dominant in web prose; their noun uses ("a
+    # boost to…") sit behind a determiner, which empties the subject walk
+    # and suppresses the match, so the homograph risk is bounded
+    "boost", "praise",
 }
 
 # stems that double the final consonant before -ed/-ing (opt-in: the
@@ -211,6 +216,12 @@ _ASPECTUAL = {
     "attempted", "promises", "promised", "prepares", "prepared",
     "threatens", "threatened", "proposes", "proposed", "pledges",
     "pledged", "vows", "vowed",
+    # conative/effort control verbs ("struggled to acquire", "tried to
+    # merge with") — like "attempted" they open the chain WITHOUT
+    # asserting the outcome, so the modality-preserving predicate keeps
+    # them ("struggled to acquire"); round-5 promotion of the pinned
+    # out-of-set control-verb miss
+    "struggles", "struggled", "tries", "tried", "strives", "strove",
 }
 _ASPECTUAL_NEG = {
     "refuses", "refused", "declines", "declined", "fails", "failed",
@@ -325,6 +336,11 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # site) / 调研 (investigate-survey) — same bounded-span discipline
     (re.compile(_ZH_ENT + "考察了?" + _ZH_ENT), "inspected", False),
     (re.compile(_ZH_ENT + "调研了?" + _ZH_ENT), "inspected", False),
+    # round-5 promotion of the pinned 座谈 miss (hold-talks verb class):
+    # the transitive probe form ("X座谈了Y") plus the more idiomatic
+    # comitative form ("X与Y座谈") — same bounded-span discipline
+    (re.compile(_ZH_ENT + "座谈了?" + _ZH_ENT), "held talks with", False),
+    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "座谈"), "held talks with", False),
     (re.compile(_ZH_ENT + "创办了?" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "发布了?" + _ZH_ENT), "launched", False),
     (re.compile(_ZH_ENT + "开发了?" + _ZH_ENT), "developed", False),
@@ -391,6 +407,14 @@ def _clean_token(tok: str) -> str:
     return c
 
 
+# subject-side PP markers whose complement is a MODIFIER of a matrix NP
+# ("shares OF acme corp", "analysts AT vertex analytics", "researchers
+# FROM acme corp"): the matrix head is the grammatical subject. Locative
+# "in" is deliberately excluded — it heads too many entity-internal and
+# clause-level adjuncts to reset on without POS context.
+_SUBJ_PP = {"of", "at", "from"}
+
+
 def _trim_subj(
     pairs: list[tuple[str, bool]], hi: int
 ) -> tuple[list[str], int]:
@@ -425,12 +449,14 @@ def _trim_subj(
         if tok in _SPAN_SUPPRESSORS:
             # denial / negative coordination crossed: no edge at all
             return [], hi
-        if tok == "of" and out and not trailing_punct and j > 0:
-            # NP-internal of-PP on the SUBJECT side: the tokens collected
+        if tok in _SUBJ_PP and out and not trailing_punct and j > 0:
+            # NP-internal PP on the SUBJECT side: the tokens collected
             # so far are the PP COMPLEMENT of a matrix NP ("SHARES of acme
-            # corp rose …") — the grammatical subject is the matrix NP, so
-            # reset and collect it instead (round-5 promotion of the
-            # pinned "shares of X rose" misattribution). Guarded: the
+            # corp rose …", "ANALYSTS at vertex analytics praised …",
+            # "RESEARCHERS from acme corp developed …") — the grammatical
+            # subject is the matrix NP, so reset and collect it instead
+            # (round-5 promotion of the pinned "shares of X rose" and
+            # "analysts at X praised" misattributions). Guarded: the
             # matrix token must be a content word — partitives ("most of
             # iron foods"), quantities ("51 percent of"), determiners and
             # temporal words keep the old complement-as-subject behavior,
@@ -1006,6 +1032,37 @@ def _modal_in_gap(pairs: list[tuple[str, bool]], start_ix: int) -> str | None:
     return None
 
 
+def _elided_subject_gap(pairs: list[tuple[str, bool]], rel_ix: int) -> bool:
+    """True iff the tokens immediately left of ``rel_ix`` (skipping the
+    same aux/adverb gap as _negated) are exactly a bare ``and`` — the
+    predicate-coordination-with-elided-subject shape ("X acquired A and
+    LAUNCHED B"). The English counterpart of the zh clause-split subject
+    inheritance in extract_triples_zh: a verb directly after "and" cannot
+    open a new clause (a new clause would carry its own subject NP, which
+    makes _trim_subj non-empty and this helper irrelevant)."""
+    j = rel_ix - 1
+    while j >= 0:
+        tok, trailing_punct = pairs[j]
+        if trailing_punct:
+            return False
+        if tok in _AUX or tok in _REL_ADVERBS:
+            j -= 1
+            continue
+        return tok == "and"
+    return False
+
+
+def _adjunct_only_object(obj_tokens: list[str]) -> bool:
+    """A borrowed-subject conjunct whose object is purely temporal/
+    adverbial is an intransitive adjunct, not an edge ("works at blue
+    energy and teaches AT NIGHT") — the elided-subject promotion must not
+    commit it."""
+    return all(
+        t in _TEMPORAL_WORDS or t in _SENT_ADVERBS or t.isdigit()
+        for t in obj_tokens
+    )
+
+
 def _negated(pairs: list[tuple[str, bool]], start_ix: int) -> bool:
     """True when a negator occupies the aux/adverb gap immediately left of
     a relation head (walk from ``start_ix`` leftward through skippable
@@ -1396,6 +1453,12 @@ def extract_triples(
     tokens = [_clean_token(t) for t in raw]
     boundary = [t != t.rstrip(_EDGE_PUNCT) for t in raw]  # trailing punct
     pairs = list(zip(tokens, boundary))
+    # most recent committed agent-side subject, for predicate coordination
+    # with an elided subject ("X acquired A and LAUNCHED B" — the second
+    # conjunct inherits X). English counterpart of the zh clause-split
+    # inheritance; never set from the passive tier (whose topic is
+    # ambiguous between agent and patient — round-3 ADVICE #3 discipline).
+    last_subj: list[str] | None = None
     i = 0
     n = len(tokens)
     while i < n:
@@ -1439,6 +1502,18 @@ def extract_triples(
             if by_ix > 0:
                 subj_tokens, _send, s_stop = _trim_obj(pairs, by_ix + 1)  # agent
                 obj_tokens, o_start = _trim_subj(pairs, i)  # patient (aux skipped)
+                borrowed = False
+                if (
+                    not obj_tokens
+                    and last_subj
+                    and subj_tokens
+                    and _elided_subject_gap(pairs, i)
+                ):
+                    # "X sold assets and WAS ACQUIRED BY Y" — the elided
+                    # patient is the previous conjunct's subject; last_subj
+                    # itself stays unset by this tier (agent/patient topic
+                    # ambiguity, same rule as the zh 被-passive)
+                    obj_tokens, borrowed = last_subj, True
                 if subj_tokens and obj_tokens and not _negated(pairs, i - 2):
                     subj = " ".join(subj_tokens)
                     obj = " ".join(obj_tokens)
@@ -1449,8 +1524,9 @@ def extract_triples(
                     # marking as the active form "X will acquire"
                     triples.append((subj, pred, obj, conf))
                     # coordination: "A and B were acquired by C" / "… by C and D"
-                    for co_patient in _coord_subjects(pairs, raw, o_start):
-                        triples.append((subj, pred, co_patient, conf))
+                    if not borrowed:
+                        for co_patient in _coord_subjects(pairs, raw, o_start):
+                            triples.append((subj, pred, co_patient, conf))
                     for co_agent in _coord_objects(pairs, raw, _send, s_stop):
                         triples.append((co_agent, pred, obj, conf))
                     i = by_ix + 1
@@ -1489,6 +1565,15 @@ def extract_triples(
                 rel_end = j
                 subj_tokens, s_start = _trim_subj(pairs, i)
                 obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+                borrowed = False
+                if (
+                    not subj_tokens
+                    and last_subj
+                    and obj_tokens
+                    and not _adjunct_only_object(obj_tokens)
+                    and _elided_subject_gap(pairs, i)
+                ):
+                    subj_tokens, borrowed = last_subj, True
                 if (
                     subj_tokens
                     and obj_tokens
@@ -1500,8 +1585,10 @@ def extract_triples(
                     pred = " ".join(tokens[i : rel_end + 1])
                     conf = _open_conf(subj_tokens, obj_tokens)
                     triples.append((subj, pred, obj, conf))
-                    for co_subj in _coord_subjects(pairs, raw, s_start):
-                        triples.append((co_subj, pred, obj, conf))
+                    last_subj = subj_tokens
+                    if not borrowed:
+                        for co_subj in _coord_subjects(pairs, raw, s_start):
+                            triples.append((co_subj, pred, obj, conf))
                     for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                         triples.append((subj, pred, co_obj, conf))
                 i = rel_end + 1
@@ -1526,6 +1613,15 @@ def extract_triples(
                     rel_end = j
             subj_tokens, s_start = _trim_subj(pairs, i)
             obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+            borrowed = False
+            if (
+                not subj_tokens
+                and last_subj
+                and obj_tokens
+                and not _adjunct_only_object(obj_tokens)
+                and _elided_subject_gap(pairs, i)
+            ):
+                subj_tokens, borrowed = last_subj, True
             if (
                 subj_tokens
                 and obj_tokens
@@ -1537,8 +1633,10 @@ def extract_triples(
                 pred = " ".join(tokens[i : rel_end + 1])
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, pred, obj, conf))
-                for co_subj in _coord_subjects(pairs, raw, s_start):
-                    triples.append((co_subj, pred, obj, conf))
+                last_subj = subj_tokens
+                if not borrowed:
+                    for co_subj in _coord_subjects(pairs, raw, s_start):
+                        triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
             i = rel_end + 1
@@ -1559,6 +1657,15 @@ def extract_triples(
             k = len(match)
             subj_tokens, s_start = _trim_subj(pairs, i)
             obj_tokens, _oend, o_stop = _trim_obj(pairs, i + k)
+            borrowed = False
+            if (
+                not subj_tokens
+                and last_subj
+                and obj_tokens
+                and not _adjunct_only_object(obj_tokens)
+                and _elided_subject_gap(pairs, i)
+            ):
+                subj_tokens, borrowed = last_subj, True
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 conf = round(
                     0.5
@@ -1575,8 +1682,10 @@ def extract_triples(
                     # closed-lexicon matches carry the modal too
                     pred = f"{modal} {pred}"
                 triples.append((subj, pred, obj, conf))
-                for co_subj in _coord_subjects(pairs, raw, s_start):
-                    triples.append((co_subj, pred, obj, conf))
+                last_subj = subj_tokens
+                if not borrowed:
+                    for co_subj in _coord_subjects(pairs, raw, s_start):
+                        triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
             i += k
@@ -1590,6 +1699,29 @@ def extract_triples(
                     j += 1
                 if j < n and tokens[j] in _REL_PREPS:
                     rel_end = j
+                if (
+                    rel_end == j
+                    and tokens[j] == "to"
+                    and not boundary[j]
+                    and j + 1 < n
+                    and tokens[j + 1] in _VERB_FORMS
+                ):
+                    # V-to-V chain for IN-dictionary control verbs
+                    # ("managed to acquire", "moved to expand into"): the
+                    # infinitive verb belongs to the predicate, not the
+                    # object span (which previously swallowed it); allow
+                    # one further adverb/prep close, mirroring tier 2c
+                    rel_end = j + 1
+                    if not boundary[rel_end]:
+                        j2 = rel_end + 1
+                        while (
+                            j2 < n
+                            and tokens[j2] in _REL_ADVERBS
+                            and not boundary[j2]
+                        ):
+                            j2 += 1
+                        if j2 < n and tokens[j2] in _REL_PREPS:
+                            rel_end = j2
             subj_tokens, s_start = _trim_subj(pairs, i)
             obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
             # NOTE: no participle-opening-object rejection here. A mid-round
@@ -1598,6 +1730,15 @@ def extract_triples(
             # participial modifiers ("manages ESTABLISHED brands") — there is
             # no local discriminator without POS context, so the open tier
             # keeps the rare noun-misread FP (measured in the gold P).
+            borrowed = False
+            if (
+                not subj_tokens
+                and last_subj
+                and obj_tokens
+                and not _adjunct_only_object(obj_tokens)
+                and _elided_subject_gap(pairs, i)
+            ):
+                subj_tokens, borrowed = last_subj, True
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 subj = " ".join(subj_tokens)
                 obj = " ".join(obj_tokens)
@@ -1611,8 +1752,10 @@ def extract_triples(
                     pred = f"{modal} {pred}"
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, pred, obj, conf))
-                for co_subj in _coord_subjects(pairs, raw, s_start):
-                    triples.append((co_subj, pred, obj, conf))
+                last_subj = subj_tokens
+                if not borrowed:
+                    for co_subj in _coord_subjects(pairs, raw, s_start):
+                        triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
             i = rel_end + 1
