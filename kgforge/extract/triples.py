@@ -121,7 +121,9 @@ _VERB_STEMS = {
     # round-5 promotion of the pinned out-of-dictionary misses: "boost"
     # and "praise" are verb-dominant in web prose; their noun uses ("a
     # boost to…") sit behind a determiner, which empties the subject walk
-    # and suppresses the match, so the homograph risk is bounded
+    # and suppresses the match — and the elided-subject borrow, which
+    # FILLS empty subject walks, refuses bare stems for exactly this
+    # homograph reason (_borrow_subject)
     "boost", "praise",
 }
 
@@ -177,6 +179,12 @@ def _inflections(stem: str) -> set[str]:
 _VERB_FORMS = frozenset(
     f for s in _VERB_STEMS for f in _inflections(s)
 ) | frozenset(_IRREGULAR_FORMS)
+
+# inflected (non-base) surface forms: these are unambiguously VERBAL in
+# context, unlike bare stems, many of which are noun homographs (praise,
+# support, work, boost, show, win). The elided-subject borrow trusts only
+# these — see _borrow_subject.
+_VERB_INFLECTED = _VERB_FORMS - frozenset(_VERB_STEMS)
 
 # prepositions/particles that may END a ReVerb relation phrase (the P in
 # V P | V W* P); "by" is also the passive agent marker handled separately
@@ -336,11 +344,22 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # site) / 调研 (investigate-survey) — same bounded-span discipline
     (re.compile(_ZH_ENT + "考察了?" + _ZH_ENT), "inspected", False),
     (re.compile(_ZH_ENT + "调研了?" + _ZH_ENT), "inspected", False),
-    # round-5 promotion of the pinned 座谈 miss (hold-talks verb class):
-    # the transitive probe form ("X座谈了Y") plus the more idiomatic
-    # comitative form ("X与Y座谈") — same bounded-span discipline
-    (re.compile(_ZH_ENT + "座谈了?" + _ZH_ENT), "held talks with", False),
-    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "座谈"), "held talks with", False),
+    # round-5 promotion of the pinned 座谈 miss (hold-talks verb class).
+    # 座谈 is INTRANSITIVE — only the comitative forms exist ("X与Y座谈",
+    # "X与Y举行了座谈(会)"); a transitive "X座谈了Y" pattern was tried and
+    # dropped in-round: it misfired on the far more common noun 座谈会
+    # ("李娜在座谈会上发言" — spoke AT a symposium). The comitative form
+    # carries a (?!会) lookahead for the same reason — "X与Y座谈会…" is a
+    # symposium mention, not an assertion that talks took place.
+    # the (?<!举行)(?<!行了) lookbehinds keep the bare form DISJOINT from
+    # the 举行-form below — without them "X与Y举行座谈" matches both, the
+    # bare one absorbing 举行 into the object span
+    (
+        re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "(?<!举行)(?<!行了)座谈(?!会)"),
+        "held talks with",
+        False,
+    ),
+    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "举行了?座谈"), "held talks with", False),
     (re.compile(_ZH_ENT + "创办了?" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "发布了?" + _ZH_ENT), "launched", False),
     (re.compile(_ZH_ENT + "开发了?" + _ZH_ENT), "developed", False),
@@ -373,9 +392,14 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
 # stripped and the edge kept.
 _ZH_MODALITY_SUFFIXES = ("计划", "试图", "希望", "打算", "拟", "考虑", "将")
 _ZH_FACTIVE_SUFFIXES = ("宣布", "正式")
-# an object span ending in 失败 means the asserted event FAILED
-# ("收购星辰软件失败了") — no edge
-_ZH_FAILURE_SUFFIXES = ("失败",)
+# an object span ending in 失败/取消 means the asserted event FAILED or
+# was CANCELLED ("收购星辰软件失败了", "…座谈取消了") — no edge. For
+# verb-MEDIAL patterns the marker is absorbed into the object span and
+# caught by group(2).endswith; verb-FINAL patterns (the 与-comitative
+# forms: …签署/合并/座谈) leave it AFTER the match, so the match loop also
+# probes the trailing text with startswith (round-5 review finding: the
+# suffix guard could never see past the verb).
+_ZH_FAILURE_SUFFIXES = ("失败", "取消")
 
 MAX_ARG_TOKENS = 4  # entity window either side of the relation
 
@@ -589,7 +613,7 @@ _MANNER_ADVERBS = {
     "slightly", "substantially", "considerably", "aggressively",
     "globally", "internationally", "locally", "domestically", "abroad",
     "overseas", "worldwide", "nationwide", "fast", "faster", "further",
-    "well", "strong", "higher", "lower",
+    "well", "strong", "higher", "lower", "low",
 }
 
 
@@ -968,6 +992,10 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
                     continue
                 if m.group(2).endswith(_ZH_FAILURE_SUFFIXES):
                     continue  # "收购星辰软件失败了" — the event failed
+                if seg[m.end():].startswith(_ZH_FAILURE_SUFFIXES):
+                    # verb-FINAL patterns ("李娜与天河科技座谈失败") leave
+                    # the failure marker after the verb, outside group(2)
+                    continue
                 subj, obj = _strip_zh_prefixes(m.group(1)), m.group(2)
                 for fsuf in _ZH_FACTIVE_SUFFIXES:
                     # "蓝海集团宣布收购…" — announced it: factive, strip
@@ -997,9 +1025,13 @@ def extract_triples_zh(sentence: str) -> list[tuple[str, str, str, float]]:
                     continue  # an elided subject is never the 被-patient
                 m = rx.match(last_subj + seg)
                 if m and _strip_zh_prefixes(m.group(1)) == last_subj:
-                    if m.group(2).endswith(
-                        _ZH_FAILURE_SUFFIXES
-                    ) or m.group(1).endswith(_ZH_MODALITY_SUFFIXES):
+                    if (
+                        m.group(2).endswith(_ZH_FAILURE_SUFFIXES)
+                        or (last_subj + seg)[m.end():].startswith(
+                            _ZH_FAILURE_SUFFIXES
+                        )
+                        or m.group(1).endswith(_ZH_MODALITY_SUFFIXES)
+                    ):
                         # the inherited-subject clause carries the same
                         # modality/failure guards as the direct path
                         # ("…，收购星辰软件失败了" must not become an edge)
@@ -1037,9 +1069,11 @@ def _elided_subject_gap(pairs: list[tuple[str, bool]], rel_ix: int) -> bool:
     same aux/adverb gap as _negated) are exactly a bare ``and`` — the
     predicate-coordination-with-elided-subject shape ("X acquired A and
     LAUNCHED B"). The English counterpart of the zh clause-split subject
-    inheritance in extract_triples_zh: a verb directly after "and" cannot
-    open a new clause (a new clause would carry its own subject NP, which
-    makes _trim_subj non-empty and this helper irrelevant)."""
+    inheritance in extract_triples_zh. This gap test alone does NOT prove
+    predicate coordination — a noun/verb homograph after "and" may head a
+    coordinated object NP or a new clause's subject ("…and PRAISE from
+    analysts", "…and WORK crews arrived"); _borrow_subject layers the
+    unambiguously-verbal guards on top."""
     j = rel_ix - 1
     while j >= 0:
         tok, trailing_punct = pairs[j]
@@ -1052,15 +1086,58 @@ def _elided_subject_gap(pairs: list[tuple[str, bool]], rel_ix: int) -> bool:
     return False
 
 
-def _adjunct_only_object(obj_tokens: list[str]) -> bool:
-    """A borrowed-subject conjunct whose object is purely temporal/
-    adverbial is an intransitive adjunct, not an edge ("works at blue
-    energy and teaches AT NIGHT") — the elided-subject promotion must not
-    commit it."""
-    return all(
-        t in _TEMPORAL_WORDS or t in _SENT_ADVERBS or t.isdigit()
-        for t in obj_tokens
-    )
+def _borrow_subject(
+    pairs: list[tuple[str, bool]],
+    rel_ix: int,
+    tok: str,
+    last_subj: list[str] | None,
+    other_tokens: list[str],
+) -> tuple[list[str] | None, bool]:
+    """Elided-subject borrow, shared by every tier (active tiers fill the
+    SUBJECT; the passive tier fills the PATIENT/object). Returns
+    (last_subj, True) when all guards pass, else (None, False).
+
+    Guards beyond the bare ``and`` gap (_elided_subject_gap):
+
+    - ``other_tokens`` (the conjunct's own argument span) must be present
+      and not a pure temporal/adverbial adjunct ("works at blue energy
+      and teaches AT NIGHT" is intransitive, not an edge) — the same
+      vocabulary as _is_adverbial_item;
+    - ``tok`` (the conjunct's relation-opening token) must be
+      unambiguously VERBAL: a copula, or an INFLECTED dictionary form.
+      Bare stems are the noun-homograph class (praise, support, work,
+      boost…) that defeats the empty-subject walk: in "acquired iron
+      foods and PRAISE from analysts" the empty walk is exactly what the
+      borrow then fills (round-5 review finding #1);
+    - ``other_tokens`` must not contain a dictionary verb form: a
+      downstream verb means ``tok`` opened a NEW clause as its subject NP
+      ("…and work crews ARRIVED", "…and supplies RAN low"), not a
+      coordinated predicate.
+    """
+    if (
+        last_subj
+        and other_tokens
+        and not all(
+            t in _TEMPORAL_WORDS or t in _SENT_ADVERBS or t.isdigit()
+            for t in other_tokens
+        )
+        and (
+            tok in _BE
+            # aspectual conjuncts ("…and plans/tried to V") are safe even
+            # for noun homographs: "announced offices and PLANS to expand
+            # into asia" entails the same (X, plans to expand into, asia)
+            # edge under either attachment, because the tier's "to V"
+            # shape is shared by both readings
+            or tok in _ASPECTUAL
+            or (
+                tok in _VERB_INFLECTED
+                and not any(t in _VERB_FORMS for t in other_tokens)
+            )
+        )
+        and _elided_subject_gap(pairs, rel_ix)
+    ):
+        return last_subj, True
+    return None, False
 
 
 def _negated(pairs: list[tuple[str, bool]], start_ix: int) -> bool:
@@ -1503,17 +1580,16 @@ def extract_triples(
                 subj_tokens, _send, s_stop = _trim_obj(pairs, by_ix + 1)  # agent
                 obj_tokens, o_start = _trim_subj(pairs, i)  # patient (aux skipped)
                 borrowed = False
-                if (
-                    not obj_tokens
-                    and last_subj
-                    and subj_tokens
-                    and _elided_subject_gap(pairs, i)
-                ):
+                if not obj_tokens:
                     # "X sold assets and WAS ACQUIRED BY Y" — the elided
                     # patient is the previous conjunct's subject; last_subj
                     # itself stays unset by this tier (agent/patient topic
                     # ambiguity, same rule as the zh 被-passive)
-                    obj_tokens, borrowed = last_subj, True
+                    fill, borrowed = _borrow_subject(
+                        pairs, i, tok, last_subj, subj_tokens
+                    )
+                    if borrowed:
+                        obj_tokens = fill
                 if subj_tokens and obj_tokens and not _negated(pairs, i - 2):
                     subj = " ".join(subj_tokens)
                     obj = " ".join(obj_tokens)
@@ -1566,14 +1642,12 @@ def extract_triples(
                 subj_tokens, s_start = _trim_subj(pairs, i)
                 obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
                 borrowed = False
-                if (
-                    not subj_tokens
-                    and last_subj
-                    and obj_tokens
-                    and not _adjunct_only_object(obj_tokens)
-                    and _elided_subject_gap(pairs, i)
-                ):
-                    subj_tokens, borrowed = last_subj, True
+                if not subj_tokens:
+                    fill, borrowed = _borrow_subject(
+                        pairs, i, tok, last_subj, obj_tokens
+                    )
+                    if borrowed:
+                        subj_tokens = fill
                 if (
                     subj_tokens
                     and obj_tokens
@@ -1602,7 +1676,10 @@ def extract_triples(
             and i + 2 < n
             and tokens[i + 1] == "to"
             and not boundary[i + 1]
-            and tokens[i + 2] in _VERB_FORMS
+            # base form only: an infinitive after "to" is never inflected;
+            # -ed/-ing forms there are participial ADJECTIVES of the
+            # object ("agreed to improved terms"), not chain verbs
+            and tokens[i + 2] in _VERB_STEMS
         ):
             rel_end = i + 2
             if not boundary[rel_end]:
@@ -1614,14 +1691,12 @@ def extract_triples(
             subj_tokens, s_start = _trim_subj(pairs, i)
             obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
             borrowed = False
-            if (
-                not subj_tokens
-                and last_subj
-                and obj_tokens
-                and not _adjunct_only_object(obj_tokens)
-                and _elided_subject_gap(pairs, i)
-            ):
-                subj_tokens, borrowed = last_subj, True
+            if not subj_tokens:
+                fill, borrowed = _borrow_subject(
+                    pairs, i, tok, last_subj, obj_tokens
+                )
+                if borrowed:
+                    subj_tokens = fill
             if (
                 subj_tokens
                 and obj_tokens
@@ -1658,14 +1733,12 @@ def extract_triples(
             subj_tokens, s_start = _trim_subj(pairs, i)
             obj_tokens, _oend, o_stop = _trim_obj(pairs, i + k)
             borrowed = False
-            if (
-                not subj_tokens
-                and last_subj
-                and obj_tokens
-                and not _adjunct_only_object(obj_tokens)
-                and _elided_subject_gap(pairs, i)
-            ):
-                subj_tokens, borrowed = last_subj, True
+            if not subj_tokens:
+                fill, borrowed = _borrow_subject(
+                    pairs, i, tok, last_subj, obj_tokens
+                )
+                if borrowed:
+                    subj_tokens = fill
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 conf = round(
                     0.5
@@ -1704,7 +1777,10 @@ def extract_triples(
                     and tokens[j] == "to"
                     and not boundary[j]
                     and j + 1 < n
-                    and tokens[j + 1] in _VERB_FORMS
+                    # base form only, as in tier 2c: "moved to GROWING
+                    # markets" / "led to IMPROVED margins" carry
+                    # participial adjectives, not infinitive chains
+                    and tokens[j + 1] in _VERB_STEMS
                 ):
                     # V-to-V chain for IN-dictionary control verbs
                     # ("managed to acquire", "moved to expand into"): the
@@ -1731,14 +1807,12 @@ def extract_triples(
             # no local discriminator without POS context, so the open tier
             # keeps the rare noun-misread FP (measured in the gold P).
             borrowed = False
-            if (
-                not subj_tokens
-                and last_subj
-                and obj_tokens
-                and not _adjunct_only_object(obj_tokens)
-                and _elided_subject_gap(pairs, i)
-            ):
-                subj_tokens, borrowed = last_subj, True
+            if not subj_tokens:
+                fill, borrowed = _borrow_subject(
+                    pairs, i, tok, last_subj, obj_tokens
+                )
+                if borrowed:
+                    subj_tokens = fill
             if subj_tokens and obj_tokens and not _negated(pairs, i - 1):
                 subj = " ".join(subj_tokens)
                 obj = " ".join(obj_tokens)

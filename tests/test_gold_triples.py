@@ -664,12 +664,16 @@ GOLD = [
      [("代表团", "inspected", "蓝海集团")], True),
     ("李娜没有考察天河科技。", "zh", [], True),  # negation guard
     # 座谈 promoted round 5 (was the pinned out-of-set example); 会晤
-    # below replaces it as the still-out-of-set pin
-    ("李娜座谈了天河科技。", "zh",
-     [("李娜", "held talks with", "天河科技")], True),
+    # below replaces it as the still-out-of-set pin. 座谈 is INTRANSITIVE:
+    # only the comitative forms are asserted; the noun 座谈会 (symposium)
+    # must never fire the pattern (review-pass finding)
     ("李娜与天河科技座谈。", "zh",
      [("李娜", "held talks with", "天河科技")], True),  # comitative form
-    ("李娜没有座谈天河科技。", "zh", [], True),  # negation guard
+    ("李娜与天河科技举行了座谈。", "zh",
+     [("李娜", "held talks with", "天河科技")], True),  # 举行-form
+    ("李娜在座谈会上发言。", "zh", [], True),  # 座谈会 noun guard
+    ("李娜与天河科技座谈失败。", "zh", [], True),  # verb-final failure guard
+    ("李娜没有与天河科技座谈。", "zh", [], True),  # negation guard
     ("李娜会晤了天河科技。", "zh", [], True),  # out-of-set verb stays missed
     # --- round 5: extra adversarial coverage ---------------------------
     ("The works of shakespeare inspire students.", "en", [], True),
@@ -902,10 +906,33 @@ def test_round5_continuation_promotions():
         ("acme corp", "acquired", "iron foods"),
         ("acme corp", "launched", "new service"),
     ]
-    assert extract_triples("李娜座谈了天河科技。", "zh")[0][:3] == (
+    assert extract_triples("李娜与天河科技座谈。", "zh")[0][:3] == (
         "李娜", "held talks with", "天河科技",
     )
-    assert extract_triples("李娜没有座谈天河科技。", "zh") == []
+    # 座谈 is intransitive: the probe-shaped transitive form was dropped
+    # in-round (it misfired on the noun 座谈会), so it extracts nothing
+    assert extract_triples("李娜座谈了天河科技。", "zh") == []
+    assert extract_triples("李娜没有与天河科技座谈。", "zh") == []
+    # noun-homograph borrow guard: a bare stem after "and" is a
+    # coordinated object NP or a new clause's subject, never a borrowed
+    # predicate (review-pass finding — these were spurious edges)
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods and praise from analysts.", "en"
+        )
+    ] == [("acme corp", "acquired", "iron foods")]
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp expanded offices and work crews arrived.", "en"
+        )
+    ] == [("acme corp", "expanded", "offices")]
+    # participial adjectives after "to" stay in the OBJECT span — the
+    # V-to-V chain joins base-form infinitives only
+    assert extract_triples("The merger led to improved margins.", "en")[0][
+        :3
+    ] == ("merger", "led to", "improved margins")
 
 
 def test_round3_coordination_promoted():
