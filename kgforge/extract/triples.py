@@ -351,15 +351,23 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # ("李娜在座谈会上发言" — spoke AT a symposium). The comitative form
     # carries a (?!会) lookahead for the same reason — "X与Y座谈会…" is a
     # symposium mention, not an assertion that talks took place.
-    # the (?<!举行)(?<!行了) lookbehinds keep the bare form DISJOINT from
-    # the 举行-form below — without them "X与Y举行座谈" matches both, the
-    # bare one absorbing 举行 into the object span
+    # the lookbehinds keep the bare form DISJOINT from the light-verb
+    # form below — without them "X与Y举行座谈" matches both, the bare one
+    # absorbing 举行 into the object span. (No 了-lookbehind is needed:
+    # 了 is excluded from _ZH_ENT, so the span can never end just before
+    # "了座谈" — only the light-verb pattern reaches those.)
     (
-        re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "(?<!举行)(?<!行了)座谈(?!会)"),
+        re.compile(
+            _ZH_ENT + "[与和]" + _ZH_ENT + "(?<!举行)(?<!进行)(?<!开展)座谈(?!会)"
+        ),
         "held talks with",
         False,
     ),
-    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "举行了?座谈"), "held talks with", False),
+    (
+        re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "(?:举行|进行|开展)了?座谈"),
+        "held talks with",
+        False,
+    ),
     (re.compile(_ZH_ENT + "创办了?" + _ZH_ENT), "founded", False),
     (re.compile(_ZH_ENT + "发布了?" + _ZH_ENT), "launched", False),
     (re.compile(_ZH_ENT + "开发了?" + _ZH_ENT), "developed", False),
@@ -1091,51 +1099,61 @@ def _borrow_subject(
     rel_ix: int,
     tok: str,
     last_subj: list[str] | None,
+    last_vtok: str | None,
     other_tokens: list[str],
 ) -> tuple[list[str] | None, bool]:
     """Elided-subject borrow, shared by every tier (active tiers fill the
     SUBJECT; the passive tier fills the PATIENT/object). Returns
     (last_subj, True) when all guards pass, else (None, False).
 
-    Guards beyond the bare ``and`` gap (_elided_subject_gap):
+    Guards beyond the bare ``and`` gap (_elided_subject_gap) — the bare
+    gap alone cannot distinguish a coordinated PREDICATE from a
+    coordinated object NP or a new clause headed by a noun/verb homograph
+    ("…and PRAISE from analysts", "…and WORK crews arrived"), so ``tok``
+    (the conjunct's relation-opening token) is graded by how ambiguous
+    its surface form is:
 
-    - ``other_tokens`` (the conjunct's own argument span) must be present
-      and not a pure temporal/adverbial adjunct ("works at blue energy
-      and teaches AT NIGHT" is intransitive, not an edge) — the same
-      vocabulary as _is_adverbial_item;
-    - ``tok`` (the conjunct's relation-opening token) must be
-      unambiguously VERBAL: a copula, or an INFLECTED dictionary form.
-      Bare stems are the noun-homograph class (praise, support, work,
-      boost…) that defeats the empty-subject walk: in "acquired iron
-      foods and PRAISE from analysts" the empty walk is exactly what the
-      borrow then fills (round-5 review finding #1);
-    - ``other_tokens`` must not contain a dictionary verb form: a
-      downstream verb means ``tok`` opened a NEW clause as its subject NP
-      ("…and work crews ARRIVED", "…and supplies RAN low"), not a
-      coordinated predicate.
+    - copulas and aspectuals are accepted outright (a copula is never a
+      noun; "…and PLANS to expand into asia" entails the same edge under
+      either attachment, because the "to V" shape is shared);
+    - -ed / irregular / -ing inflections are unambiguously verbal;
+    - -s inflections are plural-noun homographs (shows, works, supplies):
+      accepted only when the argument span carries no dictionary verb
+      form — a downstream verb means ``tok`` was the subject NP of a NEW
+      clause ("…and supplies RAN low");
+    - bare stems are the maximally ambiguous class (praise, support,
+      work, boost): accepted only under plural CONCORD — the verb that
+      committed ``last_subj`` must itself be plural-compatible (a bare
+      stem, or are/were), as in "the two firms OPERATE in europe and
+      EXPAND into asia"; after a singular-inflected first verb a bare
+      form cannot be a coordinated predicate ("acquired … and praise…"
+      is an object NP) — plus the same no-verb-in-span clause guard.
     """
-    if (
+    if not (
         last_subj
         and other_tokens
         and not all(
             t in _TEMPORAL_WORDS or t in _SENT_ADVERBS or t.isdigit()
             for t in other_tokens
         )
-        and (
-            tok in _BE
-            # aspectual conjuncts ("…and plans/tried to V") are safe even
-            # for noun homographs: "announced offices and PLANS to expand
-            # into asia" entails the same (X, plans to expand into, asia)
-            # edge under either attachment, because the tier's "to V"
-            # shape is shared by both readings
-            or tok in _ASPECTUAL
-            or (
-                tok in _VERB_INFLECTED
-                and not any(t in _VERB_FORMS for t in other_tokens)
-            )
-        )
-        and _elided_subject_gap(pairs, rel_ix)
     ):
+        return None, False
+    if tok in _BE or tok in _ASPECTUAL:
+        ok = True
+    elif tok in _VERB_INFLECTED:
+        ok = not (
+            tok.endswith("s")
+            and any(t in _VERB_FORMS for t in other_tokens)
+        )
+    elif tok in _VERB_STEMS:
+        ok = (
+            last_vtok is not None
+            and (last_vtok in _VERB_STEMS or last_vtok in ("are", "were"))
+            and not any(t in _VERB_FORMS for t in other_tokens)
+        )
+    else:
+        ok = False
+    if ok and _elided_subject_gap(pairs, rel_ix):
         return last_subj, True
     return None, False
 
@@ -1536,6 +1554,7 @@ def extract_triples(
     # inheritance; never set from the passive tier (whose topic is
     # ambiguous between agent and patient — round-3 ADVICE #3 discipline).
     last_subj: list[str] | None = None
+    last_vtok: str | None = None  # the verb token that committed last_subj
     i = 0
     n = len(tokens)
     while i < n:
@@ -1586,7 +1605,7 @@ def extract_triples(
                     # itself stays unset by this tier (agent/patient topic
                     # ambiguity, same rule as the zh 被-passive)
                     fill, borrowed = _borrow_subject(
-                        pairs, i, tok, last_subj, subj_tokens
+                        pairs, i, tok, last_subj, last_vtok, subj_tokens
                     )
                     if borrowed:
                         obj_tokens = fill
@@ -1644,7 +1663,7 @@ def extract_triples(
                 borrowed = False
                 if not subj_tokens:
                     fill, borrowed = _borrow_subject(
-                        pairs, i, tok, last_subj, obj_tokens
+                        pairs, i, tok, last_subj, last_vtok, obj_tokens
                     )
                     if borrowed:
                         subj_tokens = fill
@@ -1659,7 +1678,7 @@ def extract_triples(
                     pred = " ".join(tokens[i : rel_end + 1])
                     conf = _open_conf(subj_tokens, obj_tokens)
                     triples.append((subj, pred, obj, conf))
-                    last_subj = subj_tokens
+                    last_subj, last_vtok = subj_tokens, tok
                     if not borrowed:
                         for co_subj in _coord_subjects(pairs, raw, s_start):
                             triples.append((co_subj, pred, obj, conf))
@@ -1693,7 +1712,7 @@ def extract_triples(
             borrowed = False
             if not subj_tokens:
                 fill, borrowed = _borrow_subject(
-                    pairs, i, tok, last_subj, obj_tokens
+                    pairs, i, tok, last_subj, last_vtok, obj_tokens
                 )
                 if borrowed:
                     subj_tokens = fill
@@ -1708,7 +1727,7 @@ def extract_triples(
                 pred = " ".join(tokens[i : rel_end + 1])
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, pred, obj, conf))
-                last_subj = subj_tokens
+                last_subj, last_vtok = subj_tokens, tok
                 if not borrowed:
                     for co_subj in _coord_subjects(pairs, raw, s_start):
                         triples.append((co_subj, pred, obj, conf))
@@ -1735,7 +1754,7 @@ def extract_triples(
             borrowed = False
             if not subj_tokens:
                 fill, borrowed = _borrow_subject(
-                    pairs, i, tok, last_subj, obj_tokens
+                    pairs, i, tok, last_subj, last_vtok, obj_tokens
                 )
                 if borrowed:
                     subj_tokens = fill
@@ -1755,7 +1774,7 @@ def extract_triples(
                     # closed-lexicon matches carry the modal too
                     pred = f"{modal} {pred}"
                 triples.append((subj, pred, obj, conf))
-                last_subj = subj_tokens
+                last_subj, last_vtok = subj_tokens, tok
                 if not borrowed:
                     for co_subj in _coord_subjects(pairs, raw, s_start):
                         triples.append((co_subj, pred, obj, conf))
@@ -1809,7 +1828,7 @@ def extract_triples(
             borrowed = False
             if not subj_tokens:
                 fill, borrowed = _borrow_subject(
-                    pairs, i, tok, last_subj, obj_tokens
+                    pairs, i, tok, last_subj, last_vtok, obj_tokens
                 )
                 if borrowed:
                     subj_tokens = fill
@@ -1826,7 +1845,7 @@ def extract_triples(
                     pred = f"{modal} {pred}"
                 conf = _open_conf(subj_tokens, obj_tokens)
                 triples.append((subj, pred, obj, conf))
-                last_subj = subj_tokens
+                last_subj, last_vtok = subj_tokens, tok
                 if not borrowed:
                     for co_subj in _coord_subjects(pairs, raw, s_start):
                         triples.append((co_subj, pred, obj, conf))

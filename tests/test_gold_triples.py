@@ -671,6 +671,8 @@ GOLD = [
      [("李娜", "held talks with", "天河科技")], True),  # comitative form
     ("李娜与天河科技举行了座谈。", "zh",
      [("李娜", "held talks with", "天河科技")], True),  # 举行-form
+    ("李娜与天河科技进行了座谈。", "zh",
+     [("李娜", "held talks with", "天河科技")], True),  # 进行 light verb
     ("李娜在座谈会上发言。", "zh", [], True),  # 座谈会 noun guard
     ("李娜与天河科技座谈失败。", "zh", [], True),  # verb-final failure guard
     ("李娜没有与天河科技座谈。", "zh", [], True),  # negation guard
@@ -933,6 +935,27 @@ def test_round5_continuation_promotions():
     assert extract_triples("The merger led to improved margins.", "en")[0][
         :3
     ] == ("merger", "led to", "improved margins")
+    # …but the guards must not over-reach (review pass 2): an -ed conjunct
+    # stays borrowable even when its object holds an -s homograph noun,
+    # and a bare-stem conjunct is borrowable under plural CONCORD
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods and launched new shows.", "en"
+        )
+    ] == [
+        ("acme corp", "acquired", "iron foods"),
+        ("acme corp", "launched", "new shows"),
+    ]
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "The two firms operate in europe and expand into asia.", "en"
+        )
+    ] == [
+        ("two firms", "operate in", "europe"),
+        ("two firms", "expand into", "asia"),
+    ]
 
 
 def test_round3_coordination_promoted():
