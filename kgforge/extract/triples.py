@@ -63,9 +63,9 @@ _STOPWORDS = {
 # acme corp acquired …", "the ceo SAID acme corp …"): a subject span must
 # stop at them (they mark the matrix-clause boundary exactly like a
 # stopword), otherwise the matrix subject+verb is absorbed into the
-# embedded clause's subject. Disjoint from the open-tier verb dictionary —
-# "announced"/"reported" stay relations; these are pure
-# clause-introducers.
+# embedded clause's subject. Mostly disjoint from the open-tier verb
+# dictionary ("announced" stays a relation); "warn" sits in both since
+# round 5 — it extracts as a relation AND bounds subject walks.
 _REPORT_VERBS = {
     "say", "says", "said", "believe", "believes", "believed", "think",
     "thinks", "thought", "claim", "claims", "claimed", "suggest",
@@ -125,6 +125,22 @@ _VERB_STEMS = {
     # FILLS empty subject walks, refuses bare stems for exactly this
     # homograph reason (_borrow_subject)
     "boost", "praise",
+    # round-5 continuation: common news/report verbs, each screened for
+    # noun/adjective homograph inflections before admission (rejected in
+    # screening: audit, increase, gain, probe, target, exit, secure, cut,
+    # meet — noun-dominant surface forms or attributive participles that
+    # fire inside NPs). The _trim_subj past-form stop added alongside
+    # this batch suppresses the attributive double-fire ("announced
+    # RESTRUCTURED units") for any in-dictionary finite verb to the left.
+    # British -ise twins included where the verb is -ize-derived.
+    "accuse", "acknowledge", "apologize", "apologise", "attend",
+    "attract", "blame", "condemn", "cooperate", "criticize", "criticise",
+    "divest", "dominate", "emphasize", "emphasise", "endorse", "enter",
+    "evaluate", "examine", "exceed", "investigate", "modernize",
+    "modernise", "negotiate", "obtain", "oppose", "organize", "organise",
+    "outperform", "reach", "recognize", "recognise", "recommend",
+    "reduce", "reject", "restructure", "strengthen", "surpass",
+    "testify", "urge", "warn",
 }
 
 # stems that double the final consonant before -ed/-ing (opt-in: the
@@ -185,6 +201,31 @@ _VERB_FORMS = frozenset(
 # support, work, boost, show, win). The elided-subject borrow trusts only
 # these — see _borrow_subject.
 _VERB_INFLECTED = _VERB_FORMS - frozenset(_VERB_STEMS)
+
+# past-tense/participle dictionary forms (-ed + irregular pasts). A
+# SUBJECT walk that reaches one of these has crossed into the previous
+# predicate: in "acme corp announced IMPROVED margins" the candidate
+# "improved" is an attributive participle and "announced" is the clause's
+# finite verb, so the walk stops there (an emptied span then suppresses
+# the candidate outright). -s and -ing forms deliberately do NOT stop the
+# walk: plural-noun homographs ("united WORKS acquired…") and
+# gerund-headed names ("atlas HOLDING company acquired…") are legitimate
+# span members.
+_VERB_PAST_FORMS = (
+    frozenset(f for f in _VERB_FORMS if f.endswith("ed"))
+    | frozenset(_IRREGULAR_FORMS)
+    # past forms of the deliberately EXCLUDED noun-dominant stems (report,
+    # study, train, name, place, head, plan, demand, value — see the
+    # _VERB_STEMS screening note) plus "stated": the -ed form is
+    # unambiguously verbal even where the stem is noun-dominant, and
+    # without this the excluded stems reopen the attributive double-fire
+    # ("nova media reported REDUCED losses" → subject "nova media
+    # reported"). These stop subject walks only — they never extract.
+    | frozenset({
+        "reported", "studied", "trained", "named", "placed", "headed",
+        "planned", "demanded", "valued", "stated",
+    })
+)
 
 # prepositions/particles that may END a ReVerb relation phrase (the P in
 # V P | V W* P); "by" is also the passive agent marker handled separately
@@ -344,6 +385,11 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # site) / 调研 (investigate-survey) — same bounded-span discipline
     (re.compile(_ZH_ENT + "考察了?" + _ZH_ENT), "inspected", False),
     (re.compile(_ZH_ENT + "调研了?" + _ZH_ENT), "inspected", False),
+    # round-5 continuation: 会晤 (meet with, formal) — unlike 座谈 it IS
+    # transitive ("李娜会晤了天河科技代表"); the 与-comitative form is
+    # verb-final and covered by the post-match failure probe
+    (re.compile(_ZH_ENT + "会晤了?" + _ZH_ENT), "met with", False),
+    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "会晤"), "met with", False),
     # round-5 promotion of the pinned 座谈 miss (hold-talks verb class).
     # 座谈 is INTRANSITIVE — only the comitative forms exist ("X与Y座谈",
     # "X与Y举行了座谈(会)"); a transitive "X座谈了Y" pattern was tried and
@@ -509,7 +555,13 @@ def _trim_subj(
                 out = []
                 j -= 1
                 continue
-        if tok in _STOPWORDS or tok in _REPORT_VERBS or not tok or trailing_punct:
+        if (
+            tok in _STOPWORDS
+            or tok in _REPORT_VERBS
+            or tok in _VERB_PAST_FORMS
+            or not tok
+            or trailing_punct
+        ):
             break
         if (tok.endswith("'s") or tok.endswith("s'")) and out:
             # possessive determiner closes the span on its right: "acme
