@@ -63,9 +63,10 @@ _STOPWORDS = {
 # acme corp acquired …", "the ceo SAID acme corp …"): a subject span must
 # stop at them (they mark the matrix-clause boundary exactly like a
 # stopword), otherwise the matrix subject+verb is absorbed into the
-# embedded clause's subject. Mostly disjoint from the open-tier verb
-# dictionary ("announced" stays a relation); "warn" sits in both since
-# round 5 — it extracts as a relation AND bounds subject walks.
+# embedded clause's subject. Disjoint from the open-tier verb dictionary —
+# "announced" stays a relation; these are pure clause-introducers (a
+# round-5 attempt to put "warn" in both broke complement-clause and
+# parenthetical-attribution sentences).
 _REPORT_VERBS = {
     "say", "says", "said", "believe", "believes", "believed", "think",
     "thinks", "thought", "claim", "claims", "claimed", "suggest",
@@ -140,7 +141,13 @@ _VERB_STEMS = {
     "modernise", "negotiate", "obtain", "oppose", "organize", "organise",
     "outperform", "reach", "recognize", "recognise", "recommend",
     "reduce", "reject", "restructure", "strengthen", "surpass",
-    "testify", "urge", "warn",
+    "testify", "urge",
+    # "warn" was tried here and removed by a review pass: it is already a
+    # _REPORT_VERBS clause-introducer, and the stem form extracting
+    # ("analysts WARNED acme corp acquired…") turns complement clauses
+    # and parenthetical attributions (", officials warned,") into
+    # garbage verb-bearing objects while losing the main-clause triple.
+    # Direct-object uses ("warned investors") stay a documented miss.
 }
 
 # stems that double the final consonant before -ed/-ing (opt-in: the
@@ -386,10 +393,28 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "考察了?" + _ZH_ENT), "inspected", False),
     (re.compile(_ZH_ENT + "调研了?" + _ZH_ENT), "inspected", False),
     # round-5 continuation: 会晤 (meet with, formal) — unlike 座谈 it IS
-    # transitive ("李娜会晤了天河科技代表"); the 与-comitative form is
-    # verb-final and covered by the post-match failure probe
-    (re.compile(_ZH_ENT + "会晤了?" + _ZH_ENT), "met with", False),
-    (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "会晤"), "met with", False),
+    # transitive ("李娜会晤了天河科技代表"), but ALSO freely intransitive
+    # ("两国领导人会晤取得进展" — the leaders met, then progress), so the
+    # transitive form REQUIRES the perfective 了: without it a following
+    # VP would be absorbed as a garbage object. The comitative form takes
+    # the same light-verb lookbehinds as 座谈 (otherwise "X与Y举行会晤"
+    # absorbs 举行 into the object span) plus a 了-lookbehind — unlike
+    # 座谈, the transitive 会晤了 pattern exists, so "X与Y会晤了…" could
+    # otherwise end the comitative span mid-match; and a dedicated
+    # light-verb pattern covers 举行/进行/开展(了)会晤.
+    (re.compile(_ZH_ENT + "会晤了" + _ZH_ENT), "met with", False),
+    (
+        re.compile(
+            _ZH_ENT + "[与和]" + _ZH_ENT + "(?<!举行)(?<!进行)(?<!开展)会晤"
+        ),
+        "met with",
+        False,
+    ),
+    (
+        re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "(?:举行|进行|开展)了?会晤"),
+        "met with",
+        False,
+    ),
     # round-5 promotion of the pinned 座谈 miss (hold-talks verb class).
     # 座谈 is INTRANSITIVE — only the comitative forms exist ("X与Y座谈",
     # "X与Y举行了座谈(会)"); a transitive "X座谈了Y" pattern was tried and
@@ -494,13 +519,22 @@ _SUBJ_PP = {"of", "at", "from"}
 
 
 def _trim_subj(
-    pairs: list[tuple[str, bool]], hi: int
+    pairs: list[tuple[str, bool]], hi: int, past_stop: bool = True
 ) -> tuple[list[str], int]:
     """Scan right-to-left from ``hi`` (exclusive): skip relation-adjacent
     auxiliaries and adverbs, then stop at stopwords, empties, or a clause
     boundary (a token carrying trailing punctuation belongs to the
     previous clause and is excluded). Returns (span tokens, absolute index
-    of the span's first token)."""
+    of the span's first token).
+
+    ``past_stop`` additionally breaks the walk at past-tense verb forms
+    (dictionary -ed/irregular forms plus the excluded noun-dominant
+    stems' -ed forms) — right for TRUE subject walks, where a past form
+    to the left is the clause's finite verb and crossing it double-fires
+    attributive participles ("acme announced RESTRUCTURED units"). Pass
+    False for NP-head and passive-PATIENT walks: there an opening
+    participle is an ordinary attributive modifier ("RESTRUCTURED units
+    were announced by …") and must stay in the span."""
     out: list[str] = []
     started = False
     skipped_temporal = False
@@ -558,7 +592,7 @@ def _trim_subj(
         if (
             tok in _STOPWORDS
             or tok in _REPORT_VERBS
-            or tok in _VERB_PAST_FORMS
+            or (past_stop and tok in _VERB_PAST_FORMS)
             or not tok
             or trailing_punct
         ):
@@ -1400,7 +1434,10 @@ def _extract_participial_appositives(
             ppairs = [
                 (_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix
             ]
-            head, _hstart = _trim_subj(ppairs, len(ppairs))
+            # past_stop off: this walk extracts an NP head and does its
+            # own verb cut below — the subject-walk past-form stop would
+            # strip attributive participles from the head
+            head, _hstart = _trim_subj(ppairs, len(ppairs), past_stop=False)
             # the head NP ends at the nearest clause verb ("blue energy
             # ACQUIRED acme corp, founded by…" → head "acme corp")
             for k in range(len(head) - 1, -1, -1):
@@ -1503,7 +1540,9 @@ def _clause_head(prefix_text: str) -> list[str]:
     head logic)."""
     prefix = prefix_text.split()
     ppairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix]
-    head, _start = _trim_subj(ppairs, len(ppairs))
+    # past_stop off: NP-head walk with its own verb cut (see the
+    # participial-appositive twin above)
+    head, _start = _trim_subj(ppairs, len(ppairs), past_stop=False)
     for k in range(len(head) - 1, -1, -1):
         if head[k] in _VERB_FORMS or head[k] in _BE:
             head = head[k + 1 :]
@@ -1649,7 +1688,10 @@ def extract_triples(
                     by_ix = j
             if by_ix > 0:
                 subj_tokens, _send, s_stop = _trim_obj(pairs, by_ix + 1)  # agent
-                obj_tokens, o_start = _trim_subj(pairs, i)  # patient (aux skipped)
+                # patient (aux skipped); past_stop off — an opening
+                # participle is attributive here ("RESTRUCTURED units
+                # were announced by acme corp")
+                obj_tokens, o_start = _trim_subj(pairs, i, past_stop=False)
                 borrowed = False
                 if not obj_tokens:
                     # "X sold assets and WAS ACQUIRED BY Y" — the elided

@@ -823,6 +823,35 @@ GOLD = [
     # …while the bare noun "report" stays a legitimate subject head
     ("The report criticized the merger.", "en",
      [("report", "criticized", "merger")], True),
+    # --- round-5 continuation review pass -------------------------------
+    # "warn" stays a clause-introducer ONLY (not an extraction stem): the
+    # complement clause and the parenthetical attribution keep their
+    # main-clause triple, and the direct-object use is a documented miss
+    ("Analysts warned acme corp acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Acme corp, officials warned, acquired iron foods.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Maria lopez warned investors.", "en", [], True),
+    # passive PATIENT spans keep opening attributive participles (the
+    # past-form stop applies to true subject walks only)
+    ("Restructured units were announced by acme corp.", "en",
+     [("acme corp", "announced", "restructured units")], True),
+    # zh 会晤 light-verb forms ("X与Y举行(了)会晤") and the intransitive
+    # boundary (bare 会晤 followed by a VP takes no object)
+    ("李娜与天河科技举行会晤。", "zh",
+     [("李娜", "met with", "天河科技")], True),
+    ("李娜与天河科技举行了会晤。", "zh",
+     [("李娜", "met with", "天河科技")], True),
+    ("李娜与天河科技进行了会晤。", "zh",
+     [("李娜", "met with", "天河科技")], True),
+    ("两国领导人会晤取得进展。", "zh", [], True),
+    # in-dictionary -ed conjuncts after "and" read as borrowed predicates
+    # (consistent with the pre-batch "improved" treatment) — the object-
+    # coordination reading "announced [units and costs]" is the road not
+    # taken, so this entry is measured (clean=False), not required
+    ("Acme corp announced restructured units and reduced costs.", "en",
+     [("acme corp", "announced", "restructured units"),
+      ("acme corp", "reduced", "costs")], False),
 ]
 
 
@@ -860,7 +889,7 @@ def test_honest_overall_precision_and_recall():
         f"\ngold-set extractor metrics: P={precision:.3f} R={recall:.3f} "
         f"(tp={tp}, emitted={len(got)}, gold={len(gold)})"
     )
-    # gates sit just under the measured level (P=0.988 / R=0.997 at 311
+    # gates sit just under the measured level (P=0.988 / R=0.997 at 320
     # sentences, round-5 continuation) so a regression of more than ~1 point fails
     # loudly instead of hiding under the old 0.85/0.90 tripwires
     # (round-4 verdict next-step #5); growing the adversarial set may
