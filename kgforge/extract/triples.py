@@ -398,20 +398,26 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # transitive form REQUIRES the perfective 了: without it a following
     # VP would be absorbed as a garbage object. The comitative form takes
     # the same light-verb lookbehinds as 座谈 (otherwise "X与Y举行会晤"
-    # absorbs 举行 into the object span) plus a 了-lookbehind — unlike
-    # 座谈, the transitive 会晤了 pattern exists, so "X与Y会晤了…" could
-    # otherwise end the comitative span mid-match; and a dedicated
-    # light-verb pattern covers 举行/进行/开展(了)会晤.
+    # absorbs 举行 into the object span) plus a (?!了) lookahead — unlike
+    # 座谈, the transitive 会晤了 pattern exists, and "X与Y会晤了Z" must
+    # route to it alone (the comitative reading would wrongly pair X with
+    # Y); a dedicated light-verb pattern covers 举行/进行/开展/举办/召开
+    # (了)会晤.
     (re.compile(_ZH_ENT + "会晤了" + _ZH_ENT), "met with", False),
     (
         re.compile(
-            _ZH_ENT + "[与和]" + _ZH_ENT + "(?<!举行)(?<!进行)(?<!开展)会晤"
+            _ZH_ENT
+            + "[与和]"
+            + _ZH_ENT
+            + "(?<!举行)(?<!进行)(?<!开展)(?<!举办)(?<!召开)会晤(?!了)"
         ),
         "met with",
         False,
     ),
     (
-        re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "(?:举行|进行|开展)了?会晤"),
+        re.compile(
+            _ZH_ENT + "[与和]" + _ZH_ENT + "(?:举行|进行|开展|举办|召开)了?会晤"
+        ),
         "met with",
         False,
     ),
@@ -429,13 +435,18 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # "了座谈" — only the light-verb pattern reaches those.)
     (
         re.compile(
-            _ZH_ENT + "[与和]" + _ZH_ENT + "(?<!举行)(?<!进行)(?<!开展)座谈(?!会)"
+            _ZH_ENT
+            + "[与和]"
+            + _ZH_ENT
+            + "(?<!举行)(?<!进行)(?<!开展)(?<!举办)(?<!召开)座谈(?!会)"
         ),
         "held talks with",
         False,
     ),
     (
-        re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "(?:举行|进行|开展)了?座谈"),
+        re.compile(
+            _ZH_ENT + "[与和]" + _ZH_ENT + "(?:举行|进行|开展|举办|召开)了?座谈"
+        ),
         "held talks with",
         False,
     ),
@@ -443,7 +454,11 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(_ZH_ENT + "发布了?" + _ZH_ENT), "launched", False),
     (re.compile(_ZH_ENT + "开发了?" + _ZH_ENT), "developed", False),
     (re.compile(_ZH_ENT + "聘用了?" + _ZH_ENT), "hired", False),
-    (re.compile(_ZH_ENT + "举办了?" + _ZH_ENT), "hosted", False),
+    # 举办 refuses 座谈/会晤 objects: "X与Y举办(了)座谈/会晤" is the
+    # comitative light-verb form above — without the lookahead it would
+    # ALSO emit the garbage ("Y", hosted, "座谈") with the light-verb
+    # noun as a KG node
+    (re.compile(_ZH_ENT + "举办了?(?!座谈|会晤)" + _ZH_ENT), "hosted", False),
     # "X与Y签署了(合作)协议" — signing an agreement together is the
     # partnership assertion; the 与-coordination carries the second entity
     (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "签署"), "partnered with", False),
@@ -518,8 +533,21 @@ def _clean_token(tok: str) -> str:
 _SUBJ_PP = {"of", "at", "from"}
 
 
+def _attributive_past(pairs: list[tuple[str, bool]], j: int) -> bool:
+    """A past-tense form at ``j`` is ATTRIBUTIVE (an adjective-like
+    participle modifying the head to its right — "the RESTRUCTURED
+    units") exactly when nothing verb-subject-like sits to its left:
+    sentence start, an empty/punctuation-bounded token, or a
+    determiner/stopword. A content word to the left ("acme corp
+    ANNOUNCED …") marks it as the clause's finite verb instead."""
+    if j == 0:
+        return True
+    l_tok, l_punct = pairs[j - 1]
+    return not l_tok or l_punct or l_tok in _STOPWORDS or l_tok in _DETS
+
+
 def _trim_subj(
-    pairs: list[tuple[str, bool]], hi: int, past_stop: bool = True
+    pairs: list[tuple[str, bool]], hi: int
 ) -> tuple[list[str], int]:
     """Scan right-to-left from ``hi`` (exclusive): skip relation-adjacent
     auxiliaries and adverbs, then stop at stopwords, empties, or a clause
@@ -527,14 +555,16 @@ def _trim_subj(
     previous clause and is excluded). Returns (span tokens, absolute index
     of the span's first token).
 
-    ``past_stop`` additionally breaks the walk at past-tense verb forms
-    (dictionary -ed/irregular forms plus the excluded noun-dominant
-    stems' -ed forms) — right for TRUE subject walks, where a past form
-    to the left is the clause's finite verb and crossing it double-fires
-    attributive participles ("acme announced RESTRUCTURED units"). Pass
-    False for NP-head and passive-PATIENT walks: there an opening
-    participle is an ordinary attributive modifier ("RESTRUCTURED units
-    were announced by …") and must stay in the span."""
+    The walk also breaks at past-tense verb forms (dictionary
+    -ed/irregular forms plus the excluded noun-dominant stems' -ed
+    forms) UNLESS the form is in attributive position
+    (``_attributive_past``): a finite verb to the left is the clause
+    boundary — crossing it double-fires attributive participles ("acme
+    announced RESTRUCTURED units") — while a determiner-fronted or
+    span-opening participle is an ordinary modifier that must stay
+    ("The RESTRUCTURED units were sold …", "RESTRUCTURED units were
+    announced by …"). One rule serves subject, passive-patient, and
+    NP-head walks alike."""
     out: list[str] = []
     started = False
     skipped_temporal = False
@@ -592,10 +622,11 @@ def _trim_subj(
         if (
             tok in _STOPWORDS
             or tok in _REPORT_VERBS
-            or (past_stop and tok in _VERB_PAST_FORMS)
             or not tok
             or trailing_punct
         ):
+            break
+        if tok in _VERB_PAST_FORMS and not _attributive_past(pairs, j):
             break
         if (tok.endswith("'s") or tok.endswith("s'")) and out:
             # possessive determiner closes the span on its right: "acme
@@ -1434,10 +1465,7 @@ def _extract_participial_appositives(
             ppairs = [
                 (_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix
             ]
-            # past_stop off: this walk extracts an NP head and does its
-            # own verb cut below — the subject-walk past-form stop would
-            # strip attributive participles from the head
-            head, _hstart = _trim_subj(ppairs, len(ppairs), past_stop=False)
+            head, _hstart = _trim_subj(ppairs, len(ppairs))
             # the head NP ends at the nearest clause verb ("blue energy
             # ACQUIRED acme corp, founded by…" → head "acme corp")
             for k in range(len(head) - 1, -1, -1):
@@ -1540,9 +1568,7 @@ def _clause_head(prefix_text: str) -> list[str]:
     head logic)."""
     prefix = prefix_text.split()
     ppairs = [(_clean_token(t), t != t.rstrip(_EDGE_PUNCT)) for t in prefix]
-    # past_stop off: NP-head walk with its own verb cut (see the
-    # participial-appositive twin above)
-    head, _start = _trim_subj(ppairs, len(ppairs), past_stop=False)
+    head, _start = _trim_subj(ppairs, len(ppairs))
     for k in range(len(head) - 1, -1, -1):
         if head[k] in _VERB_FORMS or head[k] in _BE:
             head = head[k + 1 :]
@@ -1688,10 +1714,11 @@ def extract_triples(
                     by_ix = j
             if by_ix > 0:
                 subj_tokens, _send, s_stop = _trim_obj(pairs, by_ix + 1)  # agent
-                # patient (aux skipped); past_stop off — an opening
-                # participle is attributive here ("RESTRUCTURED units
-                # were announced by acme corp")
-                obj_tokens, o_start = _trim_subj(pairs, i, past_stop=False)
+                # patient (aux skipped); the attributive-position rule
+                # keeps opening participles ("RESTRUCTURED units were
+                # announced by acme corp") while still stopping at a
+                # matrix finite verb to the left
+                obj_tokens, o_start = _trim_subj(pairs, i)
                 borrowed = False
                 if not obj_tokens:
                     # "X sold assets and WAS ACQUIRED BY Y" — the elided

@@ -852,6 +852,34 @@ GOLD = [
     ("Acme corp announced restructured units and reduced costs.", "en",
      [("acme corp", "announced", "restructured units"),
       ("acme corp", "reduced", "costs")], False),
+    # --- round-5 continuation review pass 2 ------------------------------
+    # the past-form stop is positional: a determiner-fronted participle is
+    # attributive and STAYS in the span …
+    ("The restructured units were sold by apex holdings.", "en",
+     [("apex holdings", "sold", "restructured units")], True),
+    ("The planned merger attracted investors.", "en",
+     [("planned merger", "attracted", "investors")], True),
+    # … while a content word to its left marks the clause's finite verb,
+    # so an embedded-passive patient never absorbs the matrix subject+verb
+    ("Nova media reported reduced losses were announced by acme corp.",
+     "en", [("acme corp", "announced", "losses")], False),
+    # NP-head walks stop at excluded-stem past forms too ("named" is not
+    # an extraction stem but still bounds the antecedent head)
+    ("Acme corp named maria lopez ceo, who works at vertex analytics.",
+     "en", [("maria lopez ceo", "works at", "vertex analytics")], True),
+    # zh: all five light verbs introduce comitative 会晤/座谈, and the
+    # 举办-hosted pattern refuses the light-verb nouns as objects
+    ("李娜与天河科技举办会晤。", "zh",
+     [("李娜", "met with", "天河科技")], True),
+    ("李娜与天河科技召开了座谈。", "zh",
+     [("李娜", "held talks with", "天河科技")], True),
+    ("天河科技举办会议。", "zh",
+     [("天河科技", "hosted", "会议")], True),
+    # "X与Y会晤了Z" routes to the transitive pattern alone (the comitative
+    # reading would wrongly pair X with Y); the 与-span subject stays a
+    # measured truncation
+    ("李娜与天河科技会晤了外交代表团。", "zh",
+     [("天河科技", "met with", "外交代表团")], False),
 ]
 
 
@@ -889,7 +917,7 @@ def test_honest_overall_precision_and_recall():
         f"\ngold-set extractor metrics: P={precision:.3f} R={recall:.3f} "
         f"(tp={tp}, emitted={len(got)}, gold={len(gold)})"
     )
-    # gates sit just under the measured level (P=0.988 / R=0.997 at 320
+    # gates sit just under the measured level (P=0.989 / R=0.997 at 328
     # sentences, round-5 continuation) so a regression of more than ~1 point fails
     # loudly instead of hiding under the old 0.85/0.90 tripwires
     # (round-4 verdict next-step #5); growing the adversarial set may
