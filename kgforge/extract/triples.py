@@ -45,6 +45,10 @@ _STOPWORDS = {
     "the", "a", "an", "and", "or", "but", "while", "with", "for", "to",
     "of", "in", "on", "at", "by", "from", "about", "as", "into", "after",
     "before", "despite", "across", "continue", "continued",
+    # comparative connective: never part of an entity span ("grew much
+    # faster THAN expected" — the adjunct then dies on all-adverb
+    # rejection instead of surviving as a garbage object)
+    "than",
     # pronouns / relativizers: junk as KG entity spans — they stop a span
     # exactly like function words (prevents e.g. ("which", "based in", X))
     "who", "whom", "whose", "which", "that", "where", "when", "it", "its",
@@ -142,6 +146,12 @@ _VERB_STEMS = {
     "outperform", "reach", "recognize", "recognise", "recommend",
     "reduce", "reject", "restructure", "strengthen", "surpass",
     "testify", "urge",
+    # second continuation batch — critique/acclaim verbs, same screening
+    # (verb-dominant surface forms; noun uses det-fronted like
+    # boost/praise; rejected in screening: slam and mock — "grand slam"/
+    # "mock trial" fire mid-NP — and honor/review-class noun-dominants)
+    "lambaste", "applaud", "denounce", "commend", "laud", "chastise",
+    "rebuke", "tout", "downplay", "disparage", "deride",
     # "warn" was tried here and removed by a review pass: it is already a
     # _REPORT_VERBS clause-introducer, and the stem form extracting
     # ("analysts WARNED acme corp acquired…") turns complement clauses
@@ -254,6 +264,12 @@ _REL_ADVERBS = {
     "steadily", "temporarily", "routinely", "regularly", "frequently",
     "subsequently", "ultimately", "famously", "proudly", "newly",
     "widely", "actively", "increasingly", "consistently",
+    # degree adverbs ("the MUCH improved margins", "the HIGHLY touted
+    # deal"): skipped like any adverb in the right-to-left subject walk,
+    # so an attributive participle they front can't double-fire with the
+    # bare adverb as its "subject" (they are also in _MANNER_ADVERBS for
+    # the object-side all-adjunct rejection)
+    "much", "highly", "deeply", "greatly", "vastly", "hugely", "sorely",
 }
 
 _BE = {"is", "was", "are", "were", "been", "being", "be"}
@@ -335,6 +351,10 @@ _PARTITIVES = {
     "hundreds", "thousands", "millions", "percent", "plenty", "lots",
 }
 
+# comparative quantifiers fronting "than" ("MORE THAN 5 billion dollars")
+# — see the comparative re-walk in _trim_obj
+_COMPARATIVES = {"more", "less", "fewer"}
+
 _EN_SENT_SPLIT = re.compile(r"(?<=[.?!])\s+")
 _ZH_SENT_SPLIT = re.compile(r"(?<=[。？！?!])\s*")
 _EDGE_PUNCT = ".,?!。，？！、;:；："
@@ -374,11 +394,14 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # "X与Y达成合作" routes to the anchored 达成 variant below instead of
     # absorbing "Y达成" as the entity, while names CONTAINING 达 (万达,
     # 达美) still match (round-4 review pass 3: a blanket 达 exclusion
-    # was a recall regression)
+    # was a recall regression). Same tempering for the negotiate-class
+    # verbs: "X与Y洽谈合作" is the comitative 洽谈 pattern's sentence
+    # ("negotiate a TOPIC of cooperation"), not a "Y洽谈" partnership.
     (
         re.compile(
             _ZH_ENT
-            + "[与和]((?:(?!达成了?合作)(?![并与和及且或的了被])[一-鿿]){2,8})合作"
+            + "[与和]((?:(?!(?:达成了?|洽谈|磋商|商谈|座谈)合作)"
+            + "(?![并与和及且或的了被])[一-鿿]){2,8})合作"
         ),
         "partnered with",
         False,
@@ -421,6 +444,34 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
         "met with",
         False,
     ),
+    # 洽谈 (business-negotiate) / 磋商 (consult-negotiate) / 商谈
+    # (discuss-talks): the 座谈 shape — comitative 与/和 forms only
+    # (transitive uses take a TOPIC object, "洽谈合作", which is not an
+    # entity edge; the trailing topic is simply ignored by the bounded
+    # span). Each carries the 座谈 (?!会) lookahead: 洽谈会/磋商会(议)/
+    # 商谈会 are event NOUNS ("在洽谈会上" — AT a trade-talks fair), not
+    # assertions that talks took place, plus the same light-verb
+    # lookbehind/lookahead split as 座谈.
+    (
+        re.compile(
+            _ZH_ENT
+            + "[与和]"
+            + _ZH_ENT
+            + "(?<!举行)(?<!进行)(?<!开展)(?<!举办)(?<!召开)(?:洽谈|磋商|商谈)(?!会)"
+        ),
+        "negotiated with",
+        False,
+    ),
+    (
+        re.compile(
+            _ZH_ENT
+            + "[与和]"
+            + _ZH_ENT
+            + "(?:举行|进行|开展|举办|召开)了?(?:洽谈|磋商|商谈)"
+        ),
+        "negotiated with",
+        False,
+    ),
     # round-5 promotion of the pinned 座谈 miss (hold-talks verb class).
     # 座谈 is INTRANSITIVE — only the comitative forms exist ("X与Y座谈",
     # "X与Y举行了座谈(会)"); a transitive "X座谈了Y" pattern was tried and
@@ -458,7 +509,13 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     # comitative light-verb form above — without the lookahead it would
     # ALSO emit the garbage ("Y", hosted, "座谈") with the light-verb
     # noun as a KG node
-    (re.compile(_ZH_ENT + "举办了?(?!座谈|会晤)" + _ZH_ENT), "hosted", False),
+    (
+        re.compile(
+            _ZH_ENT + "举办了?(?!座谈|会晤|洽谈|磋商|商谈)" + _ZH_ENT
+        ),
+        "hosted",
+        False,
+    ),
     # "X与Y签署了(合作)协议" — signing an agreement together is the
     # partnership assertion; the 与-coordination carries the second entity
     (re.compile(_ZH_ENT + "[与和]" + _ZH_ENT + "签署"), "partnered with", False),
@@ -703,6 +760,16 @@ def _trim_obj(
         # telecom" — the entity is the NP after the partitive, not the
         # quantity (round-4 promotion of the quantity-object trap)
         return _trim_obj(pairs, stopped_at + 1)
+    if (
+        out
+        and stopped_at is not None
+        and pairs[stopped_at][0] == "than"
+        and all(t in _COMPARATIVES for t in out)
+    ):
+        # comparative quantifier + "than": "earned MORE THAN 5 billion
+        # dollars" — the object is the quantity NP after "than", not the
+        # bare comparative (sibling of the partitive re-walk above)
+        return _trim_obj(pairs, stopped_at + 1)
     # trailing temporal adjunct absorbed into the span ("joined acme corp
     # LAST YEAR" — common after an appositive strip removes the comma that
     # would have closed the span; round-5 review follow-up, hardened by
@@ -739,6 +806,11 @@ _MANNER_ADVERBS = {
     "globally", "internationally", "locally", "domestically", "abroad",
     "overseas", "worldwide", "nationwide", "fast", "faster", "further",
     "well", "strong", "higher", "lower", "low",
+    # degree adverbs fronting attributive participles ("the MUCH improved
+    # margins", "the HIGHLY touted deal"): without these the adverb
+    # survives the subject walk as a one-token "subject" and the
+    # attributive participle double-fires as a relation
+    "much", "highly", "deeply", "greatly", "vastly", "hugely", "sorely",
 }
 
 
@@ -901,7 +973,10 @@ def _coord_objects(
             span, e2, _stop2 = _trim_obj(pairs, stopped_at + 1)
             if (
                 span
-                and not any(t in _VERB_FORMS or t in _BE for t in span)
+                and not any(
+                    t in _VERB_FORMS or t in _BE or t in _REPORT_VERBS
+                    for t in span
+                )
                 and (pairs[e2][1] or e2 == len(pairs) - 1)
             ):
                 return [" ".join(span)]
@@ -941,7 +1016,11 @@ def _coord_objects(
                     return []
                 return items
             return []
-        if any(t in _VERB_FORMS or t in _BE for t in span):
+        if any(
+            t in _VERB_FORMS or t in _BE or t in _REPORT_VERBS for t in span
+        ):
+            # a report verb marks a quotative attribution ("acquired iron
+            # foods, SAID maria lopez."), never a list item
             return []
         if is_final:
             if pairs[e2][1] or e2 == len(pairs) - 1:
@@ -1211,13 +1290,46 @@ def _elided_subject_gap(pairs: list[tuple[str, bool]], rel_ix: int) -> bool:
     return False
 
 
+# in-dictionary -ed forms that head QUOTATIVE INVERSION after the
+# normalizer strips quote marks ('"we will expand," announced maria
+# lopez.' → "…expand, announced maria lopez."): in that shape the NP
+# AFTER the verb is the SPEAKER, not an object, so these speech-act verbs
+# are barred from the comma-coordination borrow (the "and"-gap borrow is
+# unaffected — "…and announced a buyback" is unambiguous coordination).
+_QUOTATIVE_INVERTIBLE = {
+    "announced", "confirmed", "disclosed", "acknowledged", "emphasized",
+    "emphasised", "testified", "urged", "recommended",
+}
+
+
+def _comma_coord_gap(
+    pairs: list[tuple[str, bool]], raw: list[str], rel_ix: int
+) -> bool:
+    """True iff the conjunct opening at ``rel_ix`` is separated from the
+    previous conjunct by a bare COMMA — comma-only predicate coordination
+    ("X acquired A, launched B"). Walks left through the same aux/adverb
+    gap as _elided_subject_gap; the first solid token must carry a
+    trailing comma specifically (a semicolon splices a new-topic clause,
+    and a period never reaches here — the splitter ends sentences)."""
+    j = rel_ix - 1
+    while j >= 0:
+        tok, trailing_punct = pairs[j]
+        if not trailing_punct and (tok in _AUX or tok in _REL_ADVERBS):
+            j -= 1
+            continue
+        return trailing_punct and raw[j].endswith(",")
+    return False
+
+
 def _borrow_subject(
     pairs: list[tuple[str, bool]],
+    raw: list[str],
     rel_ix: int,
     tok: str,
     last_subj: list[str] | None,
     last_vtok: str | None,
     other_tokens: list[str],
+    comma_ok: bool = False,
 ) -> tuple[list[str] | None, bool]:
     """Elided-subject borrow, shared by every tier (active tiers fill the
     SUBJECT; the passive tier fills the PATIENT/object). Returns
@@ -1245,6 +1357,17 @@ def _borrow_subject(
       EXPAND into asia"; after a singular-inflected first verb a bare
       form cannot be a coordinated predicate ("acquired … and praise…"
       is an object NP) — plus the same no-verb-in-span clause guard.
+
+    COMMA-only coordination ("X acquired A, launched B" — no "and") is
+    accepted under a STRICTER grade, and only when the calling tier sets
+    ``comma_ok`` (bare-verb relation, no V-P extension — a comma + V-ed +
+    PP is a reduced relative on the PREVIOUS NP, "iron foods, launched in
+    2020", never a coordinated predicate): the conjunct token must be an
+    unambiguous non-"-s" inflection (bare stems and -s forms after a comma
+    are list items or new-clause subjects), must not be a report verb or
+    a quotative-inversion verb (see _QUOTATIVE_INVERTIBLE), and the
+    argument span must carry no dictionary verb form (a comma splice with
+    its own downstream predicate is a new clause).
     """
     if not (
         last_subj
@@ -1271,6 +1394,16 @@ def _borrow_subject(
     else:
         ok = False
     if ok and _elided_subject_gap(pairs, rel_ix):
+        return last_subj, True
+    if (
+        comma_ok
+        and tok in _VERB_INFLECTED
+        and not tok.endswith("s")
+        and tok not in _REPORT_VERBS
+        and tok not in _QUOTATIVE_INVERTIBLE
+        and not any(t in _VERB_FORMS for t in other_tokens)
+        and _comma_coord_gap(pairs, raw, rel_ix)
+    ):
         return last_subj, True
     return None, False
 
@@ -1726,7 +1859,7 @@ def extract_triples(
                     # itself stays unset by this tier (agent/patient topic
                     # ambiguity, same rule as the zh 被-passive)
                     fill, borrowed = _borrow_subject(
-                        pairs, i, tok, last_subj, last_vtok, subj_tokens
+                        pairs, raw, i, tok, last_subj, last_vtok, subj_tokens
                     )
                     if borrowed:
                         obj_tokens = fill
@@ -1780,11 +1913,19 @@ def extract_triples(
             ):
                 rel_end = j
                 subj_tokens, s_start = _trim_subj(pairs, i)
-                obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+                if boundary[rel_end]:
+                    # the relation's own trailing punctuation closes the
+                    # clause — an "object" past it belongs to the NEXT
+                    # clause ("acme will expand, ANNOUNCED MARIA LOPEZ.")
+                    obj_tokens, _oend, o_stop = [], rel_end, None
+                else:
+                    obj_tokens, _oend, o_stop = _trim_obj(
+                        pairs, rel_end + 1
+                    )
                 borrowed = False
                 if not subj_tokens:
                     fill, borrowed = _borrow_subject(
-                        pairs, i, tok, last_subj, last_vtok, obj_tokens
+                        pairs, raw, i, tok, last_subj, last_vtok, obj_tokens
                     )
                     if borrowed:
                         subj_tokens = fill
@@ -1829,11 +1970,15 @@ def extract_triples(
                 if j < n and tokens[j] in _REL_PREPS:
                     rel_end = j
             subj_tokens, s_start = _trim_subj(pairs, i)
-            obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+            if boundary[rel_end]:
+                # clause closed at the relation itself (see nominal tier)
+                obj_tokens, _oend, o_stop = [], rel_end, None
+            else:
+                obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
             borrowed = False
             if not subj_tokens:
                 fill, borrowed = _borrow_subject(
-                    pairs, i, tok, last_subj, last_vtok, obj_tokens
+                    pairs, raw, i, tok, last_subj, last_vtok, obj_tokens
                 )
                 if borrowed:
                     subj_tokens = fill
@@ -1854,6 +1999,18 @@ def extract_triples(
                         triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
+            elif (
+                subj_tokens
+                and not obj_tokens
+                and tok not in _ASPECTUAL_NEG
+                and not _negated(pairs, i - 1)
+            ):
+                # uncommitted-subject donation: the chain committed no
+                # triple (adverb-only/empty object) but its active-voice
+                # SUBJECT is unambiguous — donate it so a following
+                # conjunct can still borrow ("X plans to expand rapidly
+                # and HIRED maria lopez")
+                last_subj, last_vtok = subj_tokens, tok
             i = rel_end + 1
             continue
         # tier 1 — closed lexicon, longest match (first-token index;
@@ -1871,11 +2028,20 @@ def extract_triples(
         if match is not None:
             k = len(match)
             subj_tokens, s_start = _trim_subj(pairs, i)
-            obj_tokens, _oend, o_stop = _trim_obj(pairs, i + k)
+            if boundary[i + k - 1]:
+                # clause closed at the relation itself (see nominal tier)
+                obj_tokens, _oend, o_stop = [], i + k - 1, None
+            else:
+                obj_tokens, _oend, o_stop = _trim_obj(pairs, i + k)
             borrowed = False
             if not subj_tokens:
+                # comma coordination only for BARE single-token lexicon
+                # relations ("…iron foods, acquired stellar labs"): a V-P
+                # lexicon match after a comma ("…, merged with X") is
+                # ambiguous with a reduced relative on the previous NP
                 fill, borrowed = _borrow_subject(
-                    pairs, i, tok, last_subj, last_vtok, obj_tokens
+                    pairs, raw, i, tok, last_subj, last_vtok, obj_tokens,
+                    comma_ok=(k == 1),
                 )
                 if borrowed:
                     subj_tokens = fill
@@ -1901,6 +2067,12 @@ def extract_triples(
                         triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
+            elif (
+                subj_tokens and not obj_tokens and not _negated(pairs, i - 1)
+            ):
+                # uncommitted-subject donation (see tier 2c): no triple
+                # committed, but the active-voice subject is unambiguous
+                last_subj, last_vtok = subj_tokens, tok
             i += k
             continue
         # tier 2b — open pattern: V | V P | V ADV* P
@@ -1939,7 +2111,11 @@ def extract_triples(
                         if j2 < n and tokens[j2] in _REL_PREPS:
                             rel_end = j2
             subj_tokens, s_start = _trim_subj(pairs, i)
-            obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+            if boundary[rel_end]:
+                # clause closed at the relation itself (see nominal tier)
+                obj_tokens, _oend, o_stop = [], rel_end, None
+            else:
+                obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
             # NOTE: no participle-opening-object rejection here. A mid-round
             # guard tried it ("summer hill PARTNERS acquired X" misreads the
             # plural noun as the pred) but it equally killed legitimate
@@ -1948,8 +2124,13 @@ def extract_triples(
             # keeps the rare noun-misread FP (measured in the gold P).
             borrowed = False
             if not subj_tokens:
+                # comma coordination only for the BARE-verb shape
+                # (rel_end == i): a V-P relation after a comma ("…iron
+                # foods, launched in 2020") is a reduced relative on the
+                # previous NP, never a coordinated predicate
                 fill, borrowed = _borrow_subject(
-                    pairs, i, tok, last_subj, last_vtok, obj_tokens
+                    pairs, raw, i, tok, last_subj, last_vtok, obj_tokens,
+                    comma_ok=(rel_end == i),
                 )
                 if borrowed:
                     subj_tokens = fill
@@ -1972,6 +2153,19 @@ def extract_triples(
                         triples.append((co_subj, pred, obj, conf))
                 for co_obj in _coord_objects(pairs, raw, _oend, o_stop):
                     triples.append((subj, pred, co_obj, conf))
+            elif (
+                subj_tokens and not obj_tokens and not _negated(pairs, i - 1)
+            ):
+                # uncommitted-subject donation: "acme corp EXPANDED
+                # RAPIDLY and hired maria lopez" — the first conjunct's
+                # all-adverb object commits no triple, but its
+                # active-voice subject is syntactically unambiguous, so a
+                # following elided-subject conjunct may inherit it. The
+                # passive tier still never donates (agent/patient topic
+                # ambiguity), and a NEGATED first conjunct stays silent:
+                # its negation may scope over the whole coordination
+                # ("never expanded and hired…"), so nothing is donated.
+                last_subj, last_vtok = subj_tokens, tok
             i = rel_end + 1
             continue
         i += 1

@@ -664,8 +664,9 @@ GOLD = [
      [("代表团", "inspected", "蓝海集团")], True),
     ("李娜没有考察天河科技。", "zh", [], True),  # negation guard
     # 座谈 promoted round 5 (was the pinned out-of-set example); 会晤
-    # promoted in the round-5 continuation; 洽谈 is the current
-    # still-out-of-set pin. 座谈 is INTRANSITIVE: only the comitative
+    # promoted in the round-5 continuation; 洽谈/磋商/商谈 promoted in
+    # the second continuation; 会商 is the current still-out-of-set pin.
+    # 座谈 is INTRANSITIVE: only the comitative
     # forms are asserted; the noun 座谈会 (symposium) must never fire the
     # pattern (review-pass finding)
     ("李娜与天河科技座谈。", "zh",
@@ -686,7 +687,7 @@ GOLD = [
     ("李娜没有会晤天河科技。", "zh", [], True),  # negation guard
     ("李娜与天河科技会晤失败。", "zh", [], True),  # verb-final failure guard
     ("李娜出席了会晤。", "zh", [], True),  # noun use (attend a meeting)
-    ("李娜与天河科技洽谈。", "zh", [], True),  # out-of-set verb stays missed
+    ("李娜与天河科技会商。", "zh", [], True),  # out-of-set verb stays missed
     # --- round 5: extra adversarial coverage ---------------------------
     ("The works of shakespeare inspire students.", "en", [], True),
     # "inspire" out-of-dictionary: no triple even with a matrix-NP subject
@@ -880,6 +881,71 @@ GOLD = [
     # measured truncation
     ("李娜与天河科技会晤了外交代表团。", "zh",
      [("天河科技", "met with", "外交代表团")], False),
+    # --- round-5 second continuation ----------------------------------
+    # uncommitted-subject donation: an adverb-only first conjunct commits
+    # no triple but donates its active-voice subject to the borrow
+    ("Acme corp expanded rapidly and hired maria lopez.", "en",
+     [("acme corp", "hired", "maria lopez")], True),
+    ("Vertex analytics grew steadily and acquired stellar labs.", "en",
+     [("vertex analytics", "acquired", "stellar labs")], True),
+    # …a negated first conjunct donates nothing (scope ambiguity)
+    ("Acme corp never expanded and hired maria lopez.", "en", [], True),
+    # comma-only predicate coordination, bare-verb direct-NP shape
+    ("Acme corp acquired iron foods, launched a new service.", "en",
+     [("acme corp", "acquired", "iron foods"),
+      ("acme corp", "launched", "new service")], True),
+    ("Nova media hired wei chen, opened a berlin office.", "en",
+     [("nova media", "hired", "wei chen"),
+      ("nova media", "opened", "berlin office")], True),
+    # …the V-P conjunct after a comma is a reduced relative on the
+    # previous NP — deliberately un-borrowed
+    ("Acme corp acquired iron foods, launched in 2020.", "en",
+     [("iron foods", "launched in", "2020"),
+      ("acme corp", "acquired", "iron foods")], True),
+    # …appositive and comma-splice confounds stay inert
+    ("Acme corp acquired iron foods, a logistics company.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Acme corp acquired iron foods, maria lopez joined stellar labs.",
+     "en", [("acme corp", "acquired", "iron foods"),
+            ("maria lopez", "joined", "stellar labs")], True),
+    # quotative attribution after quote-stripping normalization: the
+    # speech NP is the speaker, never an object conjunct or a borrowed
+    # predicate
+    ("Acme corp acquired iron foods, said maria lopez.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Acme will expand, announced maria lopez.", "en", [], True),
+    # critique/acclaim stem batch
+    ("Analysts lambasted the merger.", "en",
+     [("analysts", "lambasted", "merger")], True),
+    ("Investors applauded the decision.", "en",
+     [("investors", "applauded", "decision")], True),
+    ("The union denounced the layoffs.", "en",
+     [("union", "denounced", "layoffs")], True),
+    ("Executives touted the expansion.", "en",
+     [("executives", "touted", "expansion")], True),
+    ("Acme corp downplayed the losses.", "en",
+     [("acme corp", "downplayed", "losses")], True),
+    # degree adverbs front attributive participles without double-firing
+    ("The much lauded ceo announced a buyback.", "en",
+     [("ceo", "announced", "buyback")], True),
+    ("The much improved margins attracted investors.", "en",
+     [("margins", "attracted", "investors")], True),
+    # comparative-quantity objects re-walk past "than"
+    ("Acme corp acquired more than 20 companies.", "en",
+     [("acme corp", "acquired", "20 companies")], True),
+    ("Revenue grew much faster than expected.", "en", [], True),
+    # zh negotiate-class comitatives: bare, light-verb, noun and negation
+    # guards, and the 合作-topic routing
+    ("李娜与天河科技洽谈。", "zh",
+     [("李娜", "negotiated with", "天河科技")], True),
+    ("李娜与天河科技举行了磋商。", "zh",
+     [("李娜", "negotiated with", "天河科技")], True),
+    ("蓝海集团和星辰软件商谈。", "zh",
+     [("蓝海集团", "negotiated with", "星辰软件")], True),
+    ("李娜在洽谈会上发言。", "zh", [], True),
+    ("李娜没有与天河科技洽谈。", "zh", [], True),
+    ("李娜与天河科技洽谈合作。", "zh",
+     [("李娜", "negotiated with", "天河科技")], True),
 ]
 
 
@@ -949,33 +1015,120 @@ def test_round2_limitations_promoted():
     )
 
 
+def test_round5_second_continuation_promotions():
+    """The second continuation wave: uncommitted-subject donation,
+    comma-only predicate coordination (bare-verb direct-NP shape),
+    quotative-attribution guards, the critique/acclaim stem batch,
+    degree-adverb attributive protection, comparative-quantity objects,
+    and zh 洽谈/磋商/商谈 (all also covered by GOLD entries)."""
+    # uncommitted-subject donation: the first conjunct commits no triple
+    # (adverb-only object) but donates its active-voice subject
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp expanded rapidly and hired maria lopez.", "en"
+        )
+    ] == [("acme corp", "hired", "maria lopez")]
+    # …but a NEGATED first conjunct donates nothing (its negation may
+    # scope over the whole coordination)
+    assert (
+        extract_triples("Acme corp never expanded and hired maria lopez.", "en")
+        == []
+    )
+    # comma-only predicate coordination, bare-verb direct-NP shape
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods, launched a new service.", "en"
+        )
+    ] == [
+        ("acme corp", "acquired", "iron foods"),
+        ("acme corp", "launched", "new service"),
+    ]
+    # donation + comma coordination compose
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp expanded rapidly, hired maria lopez.", "en"
+        )
+    ] == [("acme corp", "hired", "maria lopez")]
+    # the appositive confound stays inert (no verb after the comma)…
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods, a logistics company.", "en"
+        )
+    ] == [("acme corp", "acquired", "iron foods")]
+    # …and a comma splice with its own subject is a NEW clause
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods, maria lopez joined stellar"
+            " labs.",
+            "en",
+        )
+    ] == [
+        ("acme corp", "acquired", "iron foods"),
+        ("maria lopez", "joined", "stellar labs"),
+    ]
+    # quotative attribution is never a list item or borrowed predicate
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "Acme corp acquired iron foods, said maria lopez.", "en"
+        )
+    ] == [("acme corp", "acquired", "iron foods")]
+    # critique/acclaim stems
+    assert extract_triples("Analysts lambasted the merger.", "en")[0][:3] == (
+        "analysts", "lambasted", "merger",
+    )
+    assert extract_triples("Investors applauded the decision.", "en")[0][
+        :3
+    ] == ("investors", "applauded", "decision")
+    # degree adverbs protect attributive participles from double-firing
+    assert [
+        t[:3]
+        for t in extract_triples(
+            "The much lauded ceo announced a buyback.", "en"
+        )
+    ] == [("ceo", "announced", "buyback")]
+    # comparative-quantity object re-walk
+    assert extract_triples(
+        "Acme corp acquired more than 20 companies.", "en"
+    )[0][:3] == ("acme corp", "acquired", "20 companies")
+    # zh negotiate-class comitatives (+ light-verb forms, noun guards)
+    assert extract_triples("李娜与天河科技洽谈。", "zh")[0][:3] == (
+        "李娜", "negotiated with", "天河科技",
+    )
+    assert extract_triples("李娜与天河科技举行了磋商。", "zh")[0][:3] == (
+        "李娜", "negotiated with", "天河科技",
+    )
+    assert extract_triples("李娜在洽谈会上发言。", "zh") == []
+    assert extract_triples("李娜没有与天河科技洽谈。", "zh") == []
+    # 洽谈合作 routes to the negotiate pattern, not a "Y洽谈" partnership
+    assert [
+        t[:3] for t in extract_triples("李娜与天河科技洽谈合作。", "zh")
+    ] == [("李娜", "negotiated with", "天河科技")]
+
+
 def test_known_limitations_are_pinned():
     """Remaining structural misses stay visible: if one starts passing,
     move it to the clean set instead of silently relying on it."""
-    # out-of-dictionary verbs stay missed ("lambaste" is not a stem;
-    # "boost"/"praise"/"criticize" and the news-verb batch were promoted
-    # in round 5)
-    assert extract_triples("Analysts lambasted the merger.", "en") == []
+    # out-of-dictionary verbs stay missed ("vilify" is not a stem;
+    # "lambaste"/"applaud"/"denounce" and the critique batch were
+    # promoted in the round-5 second continuation)
+    assert extract_triples("Analysts vilified the merger.", "en") == []
     # nominal relations WITHOUT the of-closure stay tier-1 ("is a"):
     # the copula-NP tier requires the "of" anchor
     assert [
         t[:3]
         for t in extract_triples("Global dynamics is a logistics company.", "en")
     ] == [("global dynamics", "is a", "logistics company")]
-    # zh: verbs outside ZH_REL_PATTERNS (洽谈 "negotiate with") are not
-    # extracted (参观/访问/创办/发布/开发/聘用/举办/签署 promoted in
-    # round 4; 考察/调研/座谈/会晤 promoted in round 5)
-    assert extract_triples("李娜与天河科技洽谈。", "zh") == []
-    # elided-subject coordination inherits only a COMMITTED subject: a
-    # first conjunct that produced no triple (adverb-only object) leaves
-    # nothing to inherit, so the second conjunct stays missed
-    assert (
-        extract_triples(
-            "Acme corp expanded rapidly and hired maria lopez.", "en"
-        )
-        == []
-    )
-    # and a passive first conjunct never donates its topic (agent/patient
+    # zh: verbs outside ZH_REL_PATTERNS (会商 "confer") are not extracted
+    # (参观/访问/创办/发布/开发/聘用/举办/签署 promoted in round 4;
+    # 考察/调研/座谈/会晤/洽谈/磋商/商谈 promoted in round 5)
+    assert extract_triples("李娜与天河科技会商。", "zh") == []
+    # a passive first conjunct never donates its topic (agent/patient
     # ambiguity — same rule as the zh 被-passive inheritance clear)
     assert [
         t[:3]
@@ -985,13 +1138,20 @@ def test_known_limitations_are_pinned():
             "en",
         )
     ] == [("acme corp", "acquired", "iron foods")]
-    # comma-only predicate coordination (no "and") stays un-extracted
+    # comma-only coordination accepts only the BARE-verb direct-NP shape:
+    # a comma + V-P conjunct is a reduced relative on the previous NP
+    # ("launched in 2020" modifies iron foods), so "expanded into asia"
+    # after a comma stays un-borrowed — deliberately, not as a gap
     assert [
         t[:3]
         for t in extract_triples(
-            "Acme corp acquired iron foods, launched a new service.", "en"
+            "Acme corp acquired iron foods, expanded into asia.", "en"
         )
     ] == [("acme corp", "acquired", "iron foods")]
+    # quotative inversion after quote-stripping normalization: the
+    # speech-act verb after a comma is an ATTRIBUTION, never a borrowed
+    # predicate ("…, announced maria lopez." names the speaker)
+    assert extract_triples("Acme will expand, announced maria lopez.", "en") == []
 
 
 def test_round5_continuation_promotions():

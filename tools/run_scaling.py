@@ -69,8 +69,15 @@ def main() -> int:
                 ],
                 capture_output=True,
                 text=True,
-                check=True,
             )
+            if proc.returncode != 0:
+                # surface the worker's own error (check=True swallowed it:
+                # a repeat-2 worker crash left nothing to diagnose)
+                sys.stderr.write(proc.stderr[-4000:] + "\n")
+                raise SystemExit(
+                    f"scaling worker local[{cores}] failed "
+                    f"(rc={proc.returncode})"
+                )
             line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
             r = json.loads(line)
             print(line)
