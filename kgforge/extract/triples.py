@@ -457,7 +457,11 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
             _ZH_ENT
             + "[与和]"
             + _ZH_ENT
-            + "(?<!举行)(?<!进行)(?<!开展)(?<!举办)(?<!召开)(?:洽谈|磋商|商谈)(?!会)"
+            # (?!会) — 洽谈会/磋商会/商谈会 are event nouns; (?!判) —
+            # in 磋商谈判 the verb is 磋商 with topic 谈判, and without
+            # the lookahead the greedy span backtracks to "…磋"+商谈,
+            # corrupting the entity and defeating the light-verb split
+            + "(?<!举行)(?<!进行)(?<!开展)(?<!举办)(?<!召开)(?:洽谈|磋商|商谈)(?!会)(?!判)"
         ),
         "negotiated with",
         False,
@@ -467,7 +471,7 @@ ZH_REL_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
             _ZH_ENT
             + "[与和]"
             + _ZH_ENT
-            + "(?:举行|进行|开展|举办|召开)了?(?:洽谈|磋商|商谈)"
+            + "(?:举行|进行|开展|举办|召开)了?(?:洽谈|磋商|商谈)(?!判)"
         ),
         "negotiated with",
         False,
@@ -768,8 +772,15 @@ def _trim_obj(
     ):
         # comparative quantifier + "than": "earned MORE THAN 5 billion
         # dollars" — the object is the quantity NP after "than", not the
-        # bare comparative (sibling of the partitive re-walk above)
-        return _trim_obj(pairs, stopped_at + 1)
+        # bare comparative (sibling of the partitive re-walk above). A
+        # verb form in the re-walked span means the comparison target is
+        # elliptical/clausal ("raised more than EXPECTED") — reject it
+        # outright, or every such sentence corpus-wide would funnel onto
+        # one garbage hub entity ("expected").
+        out2, end2, stop2 = _trim_obj(pairs, stopped_at + 1)
+        if any(t in _VERB_FORMS or t in _BE for t in out2):
+            return [], end2, stop2
+        return out2, end2, stop2
     # trailing temporal adjunct absorbed into the span ("joined acme corp
     # LAST YEAR" — common after an appositive strip removes the comma that
     # would have closed the span; round-5 review follow-up, hardened by
@@ -842,6 +853,18 @@ _TEMPORAL_WORDS = {
     "one", "two", "three", "four", "five", "six", "seven", "eight",
     "nine", "ten", "few", "several",
 }
+
+
+def _obj_span(
+    pairs: list[tuple[str, bool]], rel_end: int
+) -> tuple[list[str], int, int | None]:
+    """Object span right of the relation ending at ``rel_end`` — shared by
+    every active tier. Empty when the relation's own trailing punctuation
+    closes the clause: an "object" past it belongs to the NEXT clause
+    ("acme will expand, ANNOUNCED MARIA LOPEZ.")."""
+    if pairs[rel_end][1]:
+        return [], rel_end, None
+    return _trim_obj(pairs, rel_end + 1)
 
 
 def _is_adverbial_item(item_rev: list[str]) -> bool:
@@ -1296,9 +1319,27 @@ def _elided_subject_gap(pairs: list[tuple[str, bool]], rel_ix: int) -> bool:
 # AFTER the verb is the SPEAKER, not an object, so these speech-act verbs
 # are barred from the comma-coordination borrow (the "and"-gap borrow is
 # unaffected — "…and announced a buyback" is unambiguous coordination).
+# The whole communication/judgment class is listed — incl. every
+# critique/acclaim -ed form ('"…," applauded maria lopez.' is the same
+# inversion) — at the cost of suppressing the rarer true coordination
+# ("acquired X, praised the team"), which stays a documented miss.
 _QUOTATIVE_INVERTIBLE = {
     "announced", "confirmed", "disclosed", "acknowledged", "emphasized",
     "emphasised", "testified", "urged", "recommended",
+    "applauded", "lambasted", "touted", "denounced", "commended",
+    "lauded", "chastised", "rebuked", "derided", "disparaged",
+    "downplayed", "praised", "criticized", "criticised", "accused",
+    "blamed", "condemned", "endorsed",
+}
+
+# participles of DITRANSITIVE verbs: after a comma, "V-ed + NP" with one
+# of these is a passive reduced relative on the PREVIOUS NP ("acquired
+# iron foods, GIVEN new leadership" — iron foods was given leadership),
+# not predicate coordination, so they never comma-borrow. Includes
+# out-of-dictionary forms harmlessly.
+_DITRANSITIVE_PARTICIPLES = {
+    "given", "offered", "paid", "sent", "taught", "shown", "promised",
+    "granted", "awarded", "handed", "told", "denied",
 }
 
 
@@ -1401,7 +1442,14 @@ def _borrow_subject(
         and not tok.endswith("s")
         and tok not in _REPORT_VERBS
         and tok not in _QUOTATIVE_INVERTIBLE
-        and not any(t in _VERB_FORMS for t in other_tokens)
+        and tok not in _DITRANSITIVE_PARTICIPLES
+        # a copula or report verb in the span is as clause-opening as a
+        # dictionary verb ("…, restructured units ARE profitable" is a
+        # new clause with 'restructured' attributive, not coordination)
+        and not any(
+            t in _VERB_FORMS or t in _BE or t in _REPORT_VERBS
+            for t in other_tokens
+        )
         and _comma_coord_gap(pairs, raw, rel_ix)
     ):
         return last_subj, True
@@ -1913,15 +1961,7 @@ def extract_triples(
             ):
                 rel_end = j
                 subj_tokens, s_start = _trim_subj(pairs, i)
-                if boundary[rel_end]:
-                    # the relation's own trailing punctuation closes the
-                    # clause — an "object" past it belongs to the NEXT
-                    # clause ("acme will expand, ANNOUNCED MARIA LOPEZ.")
-                    obj_tokens, _oend, o_stop = [], rel_end, None
-                else:
-                    obj_tokens, _oend, o_stop = _trim_obj(
-                        pairs, rel_end + 1
-                    )
+                obj_tokens, _oend, o_stop = _obj_span(pairs, rel_end)
                 borrowed = False
                 if not subj_tokens:
                     fill, borrowed = _borrow_subject(
@@ -1970,11 +2010,7 @@ def extract_triples(
                 if j < n and tokens[j] in _REL_PREPS:
                     rel_end = j
             subj_tokens, s_start = _trim_subj(pairs, i)
-            if boundary[rel_end]:
-                # clause closed at the relation itself (see nominal tier)
-                obj_tokens, _oend, o_stop = [], rel_end, None
-            else:
-                obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+            obj_tokens, _oend, o_stop = _obj_span(pairs, rel_end)
             borrowed = False
             if not subj_tokens:
                 fill, borrowed = _borrow_subject(
@@ -2028,11 +2064,7 @@ def extract_triples(
         if match is not None:
             k = len(match)
             subj_tokens, s_start = _trim_subj(pairs, i)
-            if boundary[i + k - 1]:
-                # clause closed at the relation itself (see nominal tier)
-                obj_tokens, _oend, o_stop = [], i + k - 1, None
-            else:
-                obj_tokens, _oend, o_stop = _trim_obj(pairs, i + k)
+            obj_tokens, _oend, o_stop = _obj_span(pairs, i + k - 1)
             borrowed = False
             if not subj_tokens:
                 # comma coordination only for BARE single-token lexicon
@@ -2111,11 +2143,7 @@ def extract_triples(
                         if j2 < n and tokens[j2] in _REL_PREPS:
                             rel_end = j2
             subj_tokens, s_start = _trim_subj(pairs, i)
-            if boundary[rel_end]:
-                # clause closed at the relation itself (see nominal tier)
-                obj_tokens, _oend, o_stop = [], rel_end, None
-            else:
-                obj_tokens, _oend, o_stop = _trim_obj(pairs, rel_end + 1)
+            obj_tokens, _oend, o_stop = _obj_span(pairs, rel_end)
             # NOTE: no participle-opening-object rejection here. A mid-round
             # guard tried it ("summer hill PARTNERS acquired X" misreads the
             # plural noun as the pred) but it equally killed legitimate

@@ -946,6 +946,25 @@ GOLD = [
     ("李娜没有与天河科技洽谈。", "zh", [], True),
     ("李娜与天河科技洽谈合作。", "zh",
      [("李娜", "negotiated with", "天河科技")], True),
+    # --- review fixes on the second continuation ------------------------
+    # a copula-bearing comma splice is a NEW clause ('restructured' is
+    # attributive), not comma coordination
+    ("Acme corp acquired iron foods, restructured units are profitable.",
+     "en", [("acme corp", "acquired", "iron foods")], True),
+    # quotative inversion covers the critique/acclaim class too
+    ("Acme will expand, applauded maria lopez.", "en", [], True),
+    # ditransitive participles after a comma are passive reduced
+    # relatives on the previous NP, never borrowed coordination
+    ("Acme corp acquired iron foods, given new leadership.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    # elliptical comparison targets are rejected, not hub entities
+    ("Acme corp raised more than expected.", "en", [], True),
+    # zh 磋商谈判: the verb is 磋商, the topic 谈判 — entity spans stay
+    # uncorrupted and the light-verb split holds
+    ("甲公司与乙公司磋商谈判。", "zh",
+     [("甲公司", "negotiated with", "乙公司")], True),
+    ("甲公司与乙公司进行磋商谈判。", "zh",
+     [("甲公司", "negotiated with", "乙公司")], True),
 ]
 
 
