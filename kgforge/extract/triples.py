@@ -773,12 +773,14 @@ def _trim_obj(
         # comparative quantifier + "than": "earned MORE THAN 5 billion
         # dollars" — the object is the quantity NP after "than", not the
         # bare comparative (sibling of the partitive re-walk above). A
-        # verb form in the re-walked span means the comparison target is
-        # elliptical/clausal ("raised more than EXPECTED") — reject it
-        # outright, or every such sentence corpus-wide would funnel onto
-        # one garbage hub entity ("expected").
+        # SPAN-FINAL verb form means the comparison target is elliptical/
+        # clausal ("raised more than EXPECTED", "more than analysts
+        # EXPECTED") — reject it outright, or every such sentence
+        # corpus-wide would funnel onto one garbage hub entity
+        # ("expected"); a non-final verb form is an attributive participle
+        # ("more than EXPECTED revenue") and the span is a real NP.
         out2, end2, stop2 = _trim_obj(pairs, stopped_at + 1)
-        if any(t in _VERB_FORMS or t in _BE for t in out2):
+        if out2 and (out2[-1] in _VERB_FORMS or out2[-1] in _BE):
             return [], end2, stop2
         return out2, end2, stop2
     # trailing temporal adjunct absorbed into the span ("joined acme corp
@@ -997,7 +999,10 @@ def _coord_objects(
             if (
                 span
                 and not any(
-                    t in _VERB_FORMS or t in _BE or t in _REPORT_VERBS
+                    t in _VERB_FORMS
+                    or t in _BE
+                    or t in _REPORT_VERBS
+                    or t in _DITRANSITIVE_PARTICIPLES
                     for t in span
                 )
                 and (pairs[e2][1] or e2 == len(pairs) - 1)
@@ -1040,10 +1045,16 @@ def _coord_objects(
                 return items
             return []
         if any(
-            t in _VERB_FORMS or t in _BE or t in _REPORT_VERBS for t in span
+            t in _VERB_FORMS
+            or t in _BE
+            or t in _REPORT_VERBS
+            or t in _DITRANSITIVE_PARTICIPLES
+            for t in span
         ):
             # a report verb marks a quotative attribution ("acquired iron
-            # foods, SAID maria lopez."), never a list item
+            # foods, SAID maria lopez."), and a ditransitive participle a
+            # passive reduced relative ("…, AWARDED new leadership.") —
+            # never list items
             return []
         if is_final:
             if pairs[e2][1] or e2 == len(pairs) - 1:
@@ -1419,10 +1430,19 @@ def _borrow_subject(
         )
     ):
         return None, False
+    # a copula or report verb in the argument span marks a NEW clause
+    # whose opener was attributive/nominal ("…and supplies ARE low",
+    # "…, restructured units ARE profitable") — never coordination; the
+    # "and"-gap -ed branch still tolerates plain dictionary participles
+    # in the span ("…and launched recently ACQUIRED brands" is a
+    # legitimate modifier), which the -s/bare/comma grades reject.
+    be_or_report = any(
+        t in _BE or t in _REPORT_VERBS for t in other_tokens
+    )
     if tok in _BE or tok in _ASPECTUAL:
         ok = True
     elif tok in _VERB_INFLECTED:
-        ok = not (
+        ok = not be_or_report and not (
             tok.endswith("s")
             and any(t in _VERB_FORMS for t in other_tokens)
         )
@@ -1430,6 +1450,7 @@ def _borrow_subject(
         ok = (
             last_vtok is not None
             and (last_vtok in _VERB_STEMS or last_vtok in ("are", "were"))
+            and not be_or_report
             and not any(t in _VERB_FORMS for t in other_tokens)
         )
     else:
@@ -1443,13 +1464,8 @@ def _borrow_subject(
         and tok not in _REPORT_VERBS
         and tok not in _QUOTATIVE_INVERTIBLE
         and tok not in _DITRANSITIVE_PARTICIPLES
-        # a copula or report verb in the span is as clause-opening as a
-        # dictionary verb ("…, restructured units ARE profitable" is a
-        # new clause with 'restructured' attributive, not coordination)
-        and not any(
-            t in _VERB_FORMS or t in _BE or t in _REPORT_VERBS
-            for t in other_tokens
-        )
+        and not be_or_report
+        and not any(t in _VERB_FORMS for t in other_tokens)
         and _comma_coord_gap(pairs, raw, rel_ix)
     ):
         return last_subj, True

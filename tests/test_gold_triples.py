@@ -965,6 +965,22 @@ GOLD = [
      [("甲公司", "negotiated with", "乙公司")], True),
     ("甲公司与乙公司进行磋商谈判。", "zh",
      [("甲公司", "negotiated with", "乙公司")], True),
+    # --- review pass 2 on the second continuation ------------------------
+    # a copular conjunct after "and" is a NEW clause, not coordination
+    ("Acme corp acquired iron foods and supplies are low.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    ("Acme corp acquired iron foods and restructured units are"
+     " profitable.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    # out-of-dictionary ditransitive participles are reduced relatives on
+    # the OBJECT-coordination path too
+    ("Acme corp acquired iron foods, awarded new leadership.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    # span-final verb = elliptical comparison (rejected); non-final verb
+    # = attributive participle (a real NP object)
+    ("Acme corp earned more than expected revenue.", "en",
+     [("acme corp", "earned", "expected revenue")], True),
+    ("Revenue grew more than analysts expected.", "en", [], True),
 ]
 
 
@@ -1171,6 +1187,11 @@ def test_known_limitations_are_pinned():
     # speech-act verb after a comma is an ATTRIBUTION, never a borrowed
     # predicate ("…, announced maria lopez." names the speaker)
     assert extract_triples("Acme will expand, announced maria lopez.", "en") == []
+    # zh: the (?!判) lookahead that keeps 磋商谈判 spans uncorrupted also
+    # suppresses the rare genuine 判-initial object ("商谈判决…" —
+    # segmentation is locally ambiguous without a word segmenter);
+    # deliberate precision tradeoff, documented in BACKLOG
+    assert extract_triples("甲公司与乙公司商谈判决执行事宜。", "zh") == []
 
 
 def test_round5_continuation_promotions():
