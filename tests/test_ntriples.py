@@ -1,0 +1,100 @@
+"""N-Triples export/import (kgforge/io/ntriples.py): round-trip
+bit-identity on adversarial ids, spec-shaped output, foreign-file
+tolerance, and the UDF-free / shuffle-free plan gate. The shared
+session-scoped ``spark`` fixture comes from tests/conftest.py."""
+
+import os
+import re
+import tempfile
+
+from kgforge.io.ntriples import (
+    DEFAULT_BASE,
+    ntriples_lines,
+    read_ntriples,
+    write_ntriples,
+)
+
+
+NASTY = [
+    ("E000001", "works at", "E000002"),
+    ("acme corp", "acquired", "iron foods"),
+    ("天河科技", "negotiated with", "李娜"),
+    ('we"ird<id>', "a+b/c%d", "tab\tid"),
+    ("dot.and_under~", "is a", "percent%20already"),
+]
+
+
+def test_round_trip_bit_identity(spark):
+    df = spark.createDataFrame(
+        NASTY + [(None, "x", "y"), ("x", None, "y"), ("x", "y", None)],
+        "subj_id string, pred string, obj_id string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "edges.nt")
+        write_ntriples(df, path)
+        back = read_ntriples(spark, path)
+        got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(NASTY)  # null-term rows dropped, rest exact
+
+
+def test_line_shape_is_spec_valid(spark):
+    df = spark.createDataFrame(NASTY, "subj_id string, pred string, obj_id string")
+    lines = [r.line for r in ntriples_lines(df).collect()]
+    # W3C N-Triples: IRIREF ws IRIREF ws IRIREF ws '.'; IRIREF excludes
+    # control chars, space, <>"{}|^` and backslash
+    bad_in_iri = re.compile(r'[\x00-\x20<>"{}|^`\\]')
+    for ln in lines:
+        m = re.fullmatch(r"<([^>]*)> <([^>]*)> <([^>]*)> \.", ln)
+        assert m, ln
+        for term in m.groups():
+            assert not bad_in_iri.search(term), ln
+            assert term.startswith(DEFAULT_BASE)
+
+
+def test_foreign_iris_and_junk_lines(spark, tmp_path):
+    p = str(tmp_path / "foreign.nt")
+    with open(p, "w") as f:
+        f.write("# a comment line\n")
+        f.write("<http://example.org/a> <http://example.org/p> "
+                "<http://example.org/b> .\n")
+        f.write('<http://example.org/a> <http://example.org/p> "literal" .\n')
+        f.write("not a triple at all\n")
+    got = [tuple(r) for r in read_ntriples(spark, p).collect()]
+    # foreign IRIs load verbatim; the literal-object and junk lines drop
+    assert got == [("http://example.org/a", "http://example.org/p",
+                    "http://example.org/b")]
+
+
+def test_plan_is_udf_free_and_narrow(spark):
+    df = spark.createDataFrame(NASTY, "subj_id string, pred string, obj_id string")
+    plan = ntriples_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # JVM-side only
+    assert "Exchange" not in plan  # narrow: no shuffle to format lines
+
+
+def test_pipeline_edges_round_trip(spark):
+    """End-to-end: real extractor edges (incl. zh entities and multiword
+    predicates) survive the export/import seam unchanged."""
+    from kgforge.fixtures.gen import gen_webdocs_rows
+    from kgforge.stages.normalize import _tag_map
+    from kgforge.textnorm.pipeline import DEFAULT_MAX_SEQUENCE_LENGTH, punctuate_one
+    from kgforge.textnorm.tagger import MockTagger
+    from kgforge.extract.triples import doc_triples
+
+    rows = []
+    tagger = {}
+    for row in list(gen_webdocs_rows(40)):
+        lang = row["lang"] or "en"
+        tg = tagger.setdefault(lang, MockTagger(lang=lang))
+        text_norm, _ = punctuate_one(
+            row["text"] or "", tg, _tag_map(lang), DEFAULT_MAX_SEQUENCE_LENGTH
+        )
+        for _sid, s, p, o, _c in doc_triples(text_norm, lang):
+            rows.append((s, p, o))
+    assert rows, "fixture produced no triples"
+    df = spark.createDataFrame(rows, "subj_id string, pred string, obj_id string")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "edges.nt")
+        write_ntriples(df, path)
+        got = sorted(tuple(r) for r in read_ntriples(spark, path).collect())
+    assert got == sorted(rows)
