@@ -35,6 +35,12 @@ def main() -> int:
         help="also materialize serving-side graph tables (entity profiles,"
         " LPA communities, canonical-predicate edges)",
     )
+    ap.add_argument(
+        "--export-ntriples",
+        action="store_true",
+        help="also export the canonical edge table as W3C N-Triples text"
+        " under <out>/edges_nt (triple-store interchange)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -64,6 +70,13 @@ def main() -> int:
     )
     for name, df in results.items():
         print(f"{name:12s} rows={df.count()}")
+    if args.export_ntriples:
+        from kgforge.io.ntriples import write_ntriples
+
+        nt_path = os.path.join(out, "edges_nt")
+        write_ntriples(results["edges"], nt_path)
+        n_lines = spark.read.text(nt_path).count()
+        print(f"edges_nt     lines={n_lines} -> {nt_path}")
     lineage = spark.read.parquet(os.path.join(out, "lineage"))
     print(f"lineage rows={lineage.count()} (per-partition checkpoints)")
     print(f"output: {out}")
