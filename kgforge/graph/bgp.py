@@ -1,0 +1,137 @@
+"""Basic-graph-pattern (BGP) matching over the edge table — the serving
+query layer of the KG engine ("which ?x works at a ?y located in oslo").
+
+A BGP is an ordered list of triple patterns; each term is either a
+constant or a variable (a string starting with ``?``). Matching is the
+SPARQL BGP semantics (https://www.w3.org/TR/sparql11-query/ — public
+spec) restricted to this engine's edge model: solutions are the distinct
+variable bindings under which every pattern is an edge of the graph.
+
+Spark-first design: each pattern compiles to a filtered projection of the
+edge table (constants become pushed-down predicates on the parquet scan;
+variables become column renames), and the conjunction is a left-deep
+chain of equi-joins on the shared variables — exactly the worst-case-
+optimal-join-free classical plan every SQL engine runs, so Catalyst owns
+join ordering hints, AQE handles skewed join keys, and nothing touches
+Python. Pattern pairs that share no variable are a deliberate error
+(that cross product is almost always a query bug; an explicit
+``allow_product=True`` opt-in runs it anyway), and patterns are greedily
+reordered so each join DOES share a variable with the accumulated prefix
+whenever any ordering achieves that — the user writes patterns in
+narrative order, the planner keeps the joins keyed.
+
+Scale notes (100 TB): every join here is a hash equi-join on binding
+columns; constant-filtered patterns are small and broadcast under AQE's
+threshold. A pattern with ALL THREE terms variable scans the whole edge
+table — legal, but the planner warns via ``require_anchor=True``
+(default) which insists at least one pattern carries a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COLS = ("subj_id", "pred", "obj_id")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _compile_pattern(
+    edges: DataFrame, pattern: tuple[str, str, str], ix: int
+) -> tuple[DataFrame, set[str]]:
+    """One triple pattern → (projection keyed by its variables, var set).
+    Constants filter (pushed to the scan); variables rename; a repeated
+    variable inside one pattern ("?x knows ?x") becomes an equality
+    filter before the rename."""
+    df = edges
+    var_for_col: dict[str, str] = {}
+    for col, term in zip(_COLS, pattern):
+        if _is_var(term):
+            if term in var_for_col.values():
+                first = next(c for c, v in var_for_col.items() if v == term)
+                df = df.where(F.col(col) == F.col(first))
+            else:
+                var_for_col[col] = term
+        else:
+            df = df.where(F.col(col) == F.lit(term))
+    if not var_for_col:
+        # fully-ground pattern: an existence test — keep one marker row
+        return df.select(F.lit(1).alias(f"__exists_{ix}")).limit(1), set()
+    sel = [F.col(c).alias(v[1:]) for c, v in var_for_col.items()]
+    return df.select(*sel).dropDuplicates(), set(v[1:] for v in var_for_col.values())
+
+
+def match_bgp(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    *,
+    require_anchor: bool = True,
+    allow_product: bool = False,
+) -> DataFrame:
+    """Distinct variable bindings satisfying every triple pattern.
+
+    ``edges`` needs columns (subj_id, pred, obj_id); extra columns are
+    ignored. Variables are ``?name`` strings; the result carries one
+    column per variable (without the ``?``).
+
+    >>> match_bgp(edges, [("?x", "works at", "?y"),
+    ...                   ("?y", "located in", "oslo")])
+    DataFrame[x: string, y: string]
+    """
+    if not patterns:
+        raise ValueError("empty BGP")
+    if require_anchor and all(
+        all(_is_var(t) for t in p) for p in patterns
+    ):
+        raise ValueError(
+            "unanchored BGP (every term of every pattern is a variable) "
+            "scans the full edge table; pass require_anchor=False to run it"
+        )
+    compiled = [
+        _compile_pattern(edges, p, ix) for ix, p in enumerate(patterns)
+    ]
+    # greedy reorder: always join a pattern sharing a variable with the
+    # bound prefix when one exists (keeps every join keyed). Fully-ground
+    # patterns carry no variables — they are one-row existence gates and
+    # always join last, so they never poison the connectivity check.
+    var_ixs = [i for i, c in enumerate(compiled) if c[1]]
+    ground_ixs = [i for i, c in enumerate(compiled) if not c[1]]
+    order: list[int] = []
+    if var_ixs:
+        order.append(var_ixs[0])
+        bound = set(compiled[var_ixs[0]][1])
+        remaining = var_ixs[1:]
+        while remaining:
+            nxt = next(
+                (i for i in remaining if compiled[i][1] & bound), None
+            )
+            if nxt is None:
+                if not allow_product:
+                    raise ValueError(
+                        "disconnected BGP: pattern "
+                        f"{patterns[remaining[0]]} shares no variable with "
+                        "the rest (cross product); pass allow_product=True "
+                        "to run it"
+                    )
+                nxt = remaining[0]
+            order.append(nxt)
+            remaining.remove(nxt)
+            bound |= compiled[nxt][1]
+    order.extend(ground_ixs)
+    out = compiled[order[0]][0]
+    out_vars = set(compiled[order[0]][1])
+    for i in order[1:]:
+        df, vs = compiled[i]
+        shared = sorted(out_vars & vs)
+        if shared:
+            out = out.join(df, on=shared, how="inner")
+        else:
+            out = out.crossJoin(df)  # ground marker or explicit opt-in
+        out_vars |= vs
+    drop = [c for c in out.columns if c.startswith("__exists_")]
+    if drop:
+        out = out.drop(*drop)
+    return out.dropDuplicates()
