@@ -75,8 +75,9 @@ def main() -> int:
 
         nt_path = os.path.join(out, "edges_nt")
         write_ntriples(results["edges"], nt_path)
-        n_lines = spark.read.text(nt_path).count()
-        print(f"edges_nt     lines={n_lines} -> {nt_path}")
+        # no count-back: the line count equals the edges row count just
+        # printed, and re-scanning the text would double the export I/O
+        print(f"edges_nt     -> {nt_path}")
     lineage = spark.read.parquet(os.path.join(out, "lineage"))
     print(f"lineage rows={lineage.count()} (per-partition checkpoints)")
     print(f"output: {out}")

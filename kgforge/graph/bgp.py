@@ -83,6 +83,13 @@ def match_bgp(
     """
     if not patterns:
         raise ValueError("empty BGP")
+    for p in patterns:
+        for t in p:
+            if _is_var(t) and t.startswith("?__"):
+                # "__"-prefixed names are reserved for the internal
+                # ground-pattern existence markers; allowing them would
+                # let the marker cleanup silently drop a user binding
+                raise ValueError(f"variable name {t!r} is reserved (?__*)")
     if require_anchor and all(
         all(_is_var(t) for t in p) for p in patterns
     ):

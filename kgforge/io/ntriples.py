@@ -87,9 +87,14 @@ def write_ntriples(
 
 
 # one N-Triples statement whose three terms are IRIs; permissive on
-# whitespace, anchored so junk lines (or literals, which this engine
-# never writes) are rejected rather than half-parsed
-_NT_LINE = r"^\s*<([^>]*)>\s+<([^>]*)>\s+<([^>]*)>\s+\.\s*$"
+# whitespace (the space before the terminal '.' is OPTIONAL per the W3C
+# grammar — '>' already closes the IRIREF token) and on a trailing
+# comment after the dot; anchored so junk lines (or literals, which this
+# engine never writes) are rejected rather than half-parsed
+_NT_LINE = r"^\s*<([^>]*)>\s+<([^>]*)>\s+<([^>]*)>\s*\.\s*(?:#.*)?$"
+# \x01 is a control char and therefore excluded from IRIREF by the spec,
+# so it is a safe group separator for the single-pass extraction below
+_SEP = "\x01"
 
 
 def read_ntriples(
@@ -98,26 +103,39 @@ def read_ntriples(
     """Inverse of write_ntriples: parse the ``.nt`` dataset back to
     edges(subj_id, pred, obj_id). Lines that do not match the IRI-only
     statement shape (e.g. comments) are dropped; IRIs outside the
-    ``{base}`` namespace are kept verbatim (no decode) so foreign
-    N-Triples files still load."""
+    ``{base}`` namespace — and base-namespace IRIs whose percent
+    encoding is malformed (``…/50%off``) — are kept verbatim so foreign
+    N-Triples files still load. The regex runs twice per line (one
+    rlike gate + one replace extracting all three groups), not once per
+    term."""
     raw = spark.read.text(path)
-    parts = raw.select(
-        F.regexp_extract("value", _NT_LINE, 1).alias("s"),
-        F.regexp_extract("value", _NT_LINE, 2).alias("p"),
-        F.regexp_extract("value", _NT_LINE, 3).alias("o"),
-    ).where((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
+    groups = F.split(
+        F.regexp_replace("value", _NT_LINE, f"$1{_SEP}$2{_SEP}$3"), _SEP
+    )
+    parts = (
+        raw.where(F.col("value").rlike(_NT_LINE))
+        .select(groups.alias("g"))
+        .where(F.size("g") == 3)
+        .select(
+            F.col("g")[0].alias("s"),
+            F.col("g")[1].alias("p"),
+            F.col("g")[2].alias("o"),
+        )
+    )
 
     def _term(col: str, kind: str):
         prefix = f"{base}{kind}/"
         enc = F.col(col)
+        local = F.substring(enc, len(prefix) + 1, 1 << 24)
         return F.when(
             enc.startswith(prefix),
-            F.url_decode(
-                F.replace(
-                    F.substring(enc, len(prefix) + 1, 1 << 24),
-                    F.lit("+"),
-                    F.lit("%2B"),
-                )
+            # try_url_decode → NULL on malformed percent sequences; fall
+            # back to the verbatim IRI instead of aborting the read
+            F.coalesce(
+                F.try_url_decode(
+                    F.replace(local, F.lit("+"), F.lit("%2B"))
+                ),
+                enc,
             ),
         ).otherwise(enc)
 

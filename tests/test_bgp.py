@@ -93,6 +93,8 @@ def test_guards(spark):
         match_bgp(df, [("?x", "works at", "?y"), ("?a", "knows", "?b")])
     with pytest.raises(ValueError, match="empty"):
         match_bgp(df, [])
+    with pytest.raises(ValueError, match="reserved"):
+        match_bgp(df, [("?__exists_0", "works at", "?y")])
     # explicit opt-ins run
     got, _ = spark_bgp(
         spark,

@@ -65,6 +65,28 @@ def test_foreign_iris_and_junk_lines(spark, tmp_path):
                     "http://example.org/b")]
 
 
+def test_spec_whitespace_comment_and_malformed_percent(spark, tmp_path):
+    """Review-pass pins: the space before '.' is optional in the W3C
+    grammar, a trailing comment after the dot is legal, and a
+    base-namespace IRI with a MALFORMED percent sequence loads verbatim
+    instead of aborting the read (try_url_decode fallback)."""
+    p = str(tmp_path / "edge_cases.nt")
+    with open(p, "w") as f:
+        f.write("<http://example.org/a> <http://example.org/p> "
+                "<http://example.org/b>.\n")  # no space before the dot
+        f.write("<http://example.org/c> <http://example.org/p> "
+                "<http://example.org/d> . # trailing comment\n")
+        f.write(f"<{DEFAULT_BASE}entity/50%off> <{DEFAULT_BASE}pred/sells> "
+                f"<{DEFAULT_BASE}entity/widgets> .\n")
+    got = sorted(tuple(r) for r in read_ntriples(spark, p).collect())
+    assert got == sorted([
+        ("http://example.org/a", "http://example.org/p", "http://example.org/b"),
+        ("http://example.org/c", "http://example.org/p", "http://example.org/d"),
+        # malformed %of → verbatim IRI, well-formed neighbors decode
+        (f"{DEFAULT_BASE}entity/50%off", "sells", "widgets"),
+    ])
+
+
 def test_plan_is_udf_free_and_narrow(spark):
     df = spark.createDataFrame(NASTY, "subj_id string, pred string, obj_id string")
     plan = ntriples_lines(df)._jdf.queryExecution().executedPlan().toString()
