@@ -272,6 +272,28 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     )
     timings["kg_pred_canon"] = round(time.perf_counter() - t0, 3)
 
+    # BGP serving queries (round-5 second continuation). Two shapes:
+    # the UNANCHORED 2-pattern chain is the hub stress test — on this
+    # fixture's 30%-hot entity it fans to ~5M bindings, so the phase
+    # measures join fan-out + distinct at adversarial selectivity (the
+    # BGP sibling of the triangles/2-hop skew phases); the ANCHORED
+    # chain is the serving-latency path — the constant reaches the
+    # parquet scan as a pushed filter and bounds the output.
+    from kgforge.graph.bgp import match_bgp
+
+    t0 = time.perf_counter()
+    n_bgp = match_bgp(
+        edges_tbl,
+        [("?x", "acquired", "?y"), ("?y", "works at", "?z")],
+    ).count()
+    timings["kg_bgp_chain"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_bgp_anchored = match_bgp(
+        edges_tbl,
+        [("?x", "acquired", "?y"), ("?y", "located in", "E000001")],
+    ).count()
+    timings["kg_bgp_anchored"] = round(time.perf_counter() - t0, 3)
+
     total += (
         timings["kg_refdata"]
         + timings["kg_normalize"]
@@ -285,6 +307,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         + timings["kg_profile_sketch"]
         + timings["kg_communities"]
         + timings["kg_pred_canon"]
+        + timings["kg_bgp_chain"]
+        + timings["kg_bgp_anchored"]
     )
 
     result = {
@@ -303,6 +327,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "kg_day_partitions": n_day_dirs,
         "kg_window_partitions_scanned": n_window_dirs,
         "kg_canonical_predicates": n_canon_preds,
+        "kg_bgp_matches": n_bgp,
+        "kg_bgp_anchored_matches": n_bgp_anchored,
         "unbounded_near_dup": unbounded,
     }
     spark.stop()
