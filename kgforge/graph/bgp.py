@@ -141,4 +141,9 @@ def match_bgp(
     drop = [c for c in out.columns if c.startswith("__exists_")]
     if drop:
         out = out.drop(*drop)
-    return out.dropDuplicates()
+    # no final dropDuplicates: every compiled pattern is already distinct,
+    # and an equi-join of SETS on their shared variables is a set (so is a
+    # cross by the one-row ground marker) — a trailing global distinct
+    # would re-shuffle the entire result for nothing (measured: the full
+    # 5M-binding hub chain pays one extra 5M-row exchange)
+    return out
