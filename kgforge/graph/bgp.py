@@ -147,3 +147,26 @@ def match_bgp(
     # would re-shuffle the entire result for nothing (measured: the full
     # 5M-binding hub chain pays one extra 5M-row exchange)
     return out
+
+
+def match_bgp_window(
+    spark,
+    edges_path: str,
+    patterns: list[tuple[str, str, str]],
+    lo: str,
+    hi: str,
+    **kw,
+):
+    """Time-windowed BGP: match ``patterns`` against only the edges
+    asserted in crawl days [lo, hi], reading the day-partitioned edge
+    table (graph/temporal.py materialization) so the window becomes a
+    PartitionFilter — the scan is proportional to the window, not the
+    table (plan-gated in tests/test_bgp.py). Semantics: the whole BGP is
+    evaluated within one window (every pattern must hold there), the
+    windowed-serving counterpart of window_subgraph_topk."""
+    from pyspark.sql import functions as F
+
+    edges = spark.read.parquet(edges_path).where(
+        (F.col("day") >= lo) & (F.col("day") <= hi)
+    )
+    return match_bgp(edges, patterns, **kw)

@@ -128,3 +128,31 @@ def test_narrative_order_is_replanned(spark):
     got, _ = spark_bgp(spark, patterns)
     assert got == oracle_bgp(EDGES, patterns)
     assert got  # nonempty: maria/wei → acme → nova → lyon
+
+
+def test_windowed_bgp_prunes_partitions(spark, tmp_path):
+    """match_bgp_window reads only the window's day partitions (the day
+    predicate is a PartitionFilter) and matches the oracle on exactly
+    the windowed edge subset."""
+    from kgforge.graph.bgp import match_bgp_window
+
+    dated = [(s, p, o, d) for (s, p, o), d in zip(
+        EDGES, ["2024-01-0%d" % (1 + i % 3) for i in range(len(EDGES))]
+    )]
+    df = spark.createDataFrame(
+        dated, "subj_id string, pred string, obj_id string, day string"
+    )
+    path = str(tmp_path / "edges_by_day")
+    df.write.partitionBy("day").parquet(path)
+
+    lo, hi = "2024-01-01", "2024-01-02"
+    patterns = [("?x", "works at", "?y"), ("?y", "located in", "?c")]
+    res = match_bgp_window(spark, path, patterns, lo, hi)
+    windowed_edges = [(s, p, o) for (s, p, o, d) in dated if lo <= d <= hi]
+    got = set(tuple(sorted(zip(res.columns, row))) for row in res.collect())
+    assert got == oracle_bgp(windowed_edges, patterns)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "(day >= 2024-01-01)" in plan or "day#" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
