@@ -270,6 +270,7 @@ _REL_ADVERBS = {
     # bare adverb as its "subject" (they are also in _MANNER_ADVERBS for
     # the object-side all-adjunct rejection)
     "much", "highly", "deeply", "greatly", "vastly", "hugely", "sorely",
+    "far",
 }
 
 _BE = {"is", "was", "are", "were", "been", "being", "be"}
@@ -747,28 +748,17 @@ def _trim_obj(
         if trailing_punct or len(out) >= MAX_ARG_TOKENS:
             break
         j += 1
-    if out and all(
-        t in _REL_ADVERBS or t in _SENT_ADVERBS or t in _MANNER_ADVERBS
-        for t in out
-    ):
-        # an all-adverb "object" is a manner/degree adjunct, not an entity
-        # ("acme corp expanded RAPIDLY" asserts no edge)
-        return [], end, stopped_at
-    if (
-        out
-        and stopped_at is not None
-        and pairs[stopped_at][0] == "of"
-        and all(t in _PARTITIVES or t.isdigit() for t in out)
-    ):
-        # quantity-only span + "of": "acquired 51 percent OF atlas
-        # telecom" — the entity is the NP after the partitive, not the
-        # quantity (round-4 promotion of the quantity-object trap)
-        return _trim_obj(pairs, stopped_at + 1)
     if (
         out
         and stopped_at is not None
         and pairs[stopped_at][0] == "than"
-        and all(t in _COMPARATIVES for t in out)
+        and any(t in _COMPARATIVES for t in out)
+        and all(
+            t in _COMPARATIVES
+            or t in _MANNER_ADVERBS
+            or t in _REL_ADVERBS
+            for t in out
+        )
     ):
         # comparative quantifier + "than": "earned MORE THAN 5 billion
         # dollars" — the object is the quantity NP after "than", not the
@@ -783,6 +773,28 @@ def _trim_obj(
         if out2 and (out2[-1] in _VERB_FORMS or out2[-1] in _BE):
             return [], end2, stop2
         return out2, end2, stop2
+    if out and all(
+        t in _REL_ADVERBS
+        or t in _SENT_ADVERBS
+        or t in _MANNER_ADVERBS
+        or t in _COMPARATIVES
+        for t in out
+    ):
+        # an all-adverb/comparative "object" is a manner/degree adjunct,
+        # not an entity ("acme corp expanded RAPIDLY", "earned far MORE"
+        # assert no edge); runs AFTER the comparative re-walk above so
+        # "far more THAN 20 companies" re-walks instead of dying here
+        return [], end, stopped_at
+    if (
+        out
+        and stopped_at is not None
+        and pairs[stopped_at][0] == "of"
+        and all(t in _PARTITIVES or t.isdigit() for t in out)
+    ):
+        # quantity-only span + "of": "acquired 51 percent OF atlas
+        # telecom" — the entity is the NP after the partitive, not the
+        # quantity (round-4 promotion of the quantity-object trap)
+        return _trim_obj(pairs, stopped_at + 1)
     # trailing temporal adjunct absorbed into the span ("joined acme corp
     # LAST YEAR" — common after an appositive strip removes the comma that
     # would have closed the span; round-5 review follow-up, hardened by
@@ -824,6 +836,7 @@ _MANNER_ADVERBS = {
     # survives the subject walk as a one-token "subject" and the
     # attributive participle double-fires as a relation
     "much", "highly", "deeply", "greatly", "vastly", "hugely", "sorely",
+    "far",
 }
 
 
@@ -1341,6 +1354,9 @@ _QUOTATIVE_INVERTIBLE = {
     "lauded", "chastised", "rebuked", "derided", "disparaged",
     "downplayed", "praised", "criticized", "criticised", "accused",
     "blamed", "condemned", "endorsed",
+    # written attribution ('"…," wrote maria lopez.') — "write" is a
+    # dictionary stem, so its past form must be barred explicitly
+    "wrote",
 }
 
 # participles of DITRANSITIVE verbs: after a comma, "V-ed + NP" with one

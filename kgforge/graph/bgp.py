@@ -164,8 +164,6 @@ def match_bgp_window(
     table (plan-gated in tests/test_bgp.py). Semantics: the whole BGP is
     evaluated within one window (every pattern must hold there), the
     windowed-serving counterpart of window_subgraph_topk."""
-    from pyspark.sql import functions as F
-
     edges = spark.read.parquet(edges_path).where(
         (F.col("day") >= lo) & (F.col("day") <= hi)
     )

@@ -981,6 +981,15 @@ GOLD = [
     ("Acme corp earned more than expected revenue.", "en",
      [("acme corp", "earned", "expected revenue")], True),
     ("Revenue grew more than analysts expected.", "en", [], True),
+    # --- review pass 3 (fresh-eyes over the whole wave) ------------------
+    # written attribution is quotative inversion too ("wrote" barred)
+    ("Acme will expand, wrote maria lopez.", "en", [], True),
+    ("Acme corp acquired iron foods, wrote maria lopez.", "en",
+     [("acme corp", "acquired", "iron foods")], True),
+    # degree-modified comparatives re-walk/reject like bare ones
+    ("Acme corp earned far more than expected.", "en", [], True),
+    ("Acme corp acquired far more than 20 companies.", "en",
+     [("acme corp", "acquired", "20 companies")], True),
 ]
 
 
