@@ -149,6 +149,62 @@ def match_bgp(
     return out
 
 
+def match_bgp_optional(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]],
+    **kw,
+) -> DataFrame:
+    """``match_bgp`` with SPARQL OPTIONAL semantics for a trailing group
+    of single-pattern optionals: every required solution survives, and
+    each optional pattern contributes its bindings where compatible or
+    NULLs where not (left outer join on the shared variables — exactly
+    OPTIONAL for the well-designed case where each optional shares at
+    least one variable with the required group, which is enforced).
+    Optionals are applied left-to-right against the accumulated solution,
+    the SPARQL evaluation order for sequential OPTIONALs.
+
+    >>> match_bgp_optional(edges,
+    ...     [("?x", "works at", "?y")],
+    ...     [("?y", "located in", "?c")])
+    DataFrame[x, y, c]   # c is NULL for employers with no location edge
+    """
+    out = match_bgp(edges, patterns, **kw)
+    required_vars = set(out.columns)
+    introduced: set[str] = set()
+    for ix, pat in enumerate(optional):
+        df, vs = _compile_pattern(edges, pat, ix)
+        shared = sorted(required_vars & vs)
+        new = vs - required_vars
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat} shares no variable with the "
+                "required group — not a well-designed OPTIONAL (its "
+                "bindings would cross-multiply every solution)"
+            )
+        if not new:
+            # a fully-bound optional adds no columns: it can only be an
+            # existence probe, which OPTIONAL by definition cannot filter
+            # on — reject instead of silently doing nothing
+            raise ValueError(
+                f"optional pattern {pat} binds no new variable; make it "
+                "a required pattern if it must hold"
+            )
+        if new & introduced:
+            # two optionals binding the SAME new variable, or one keyed
+            # on another's output, is the non-well-designed case where
+            # left joins and SPARQL diverge (NULL is join-incompatible
+            # but SPARQL-compatible) — refuse rather than be subtly wrong
+            raise ValueError(
+                f"optional pattern {pat} rebinds {sorted(new & introduced)}"
+                " already bound by an earlier optional; restructure the"
+                " query (not a well-designed OPTIONAL chain)"
+            )
+        out = out.join(df, on=shared, how="left")
+        introduced |= new
+    return out
+
+
 def match_bgp_window(
     spark,
     edges_path: str,

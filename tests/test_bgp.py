@@ -156,3 +156,77 @@ def test_windowed_bgp_prunes_partitions(spark, tmp_path):
     assert "(day >= 2024-01-01)" in plan or "day#" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def oracle_bgp_optional(edges, patterns, optional):
+    """Brute-force OPTIONAL for the restricted well-designed shape the
+    implementation enforces (each optional shares only required vars and
+    introduces disjoint new vars): every required solution is extended
+    per-optional by each compatible binding, or by NULLs when none."""
+    out = set()
+    for sol in oracle_bgp(edges, patterns):
+        base = dict(sol)
+        per_opt = []
+        for pat in optional:
+            exts = []
+            for triple in edges:
+                bind = dict(base)
+                ok = True
+                for val, term in zip(triple, pat):
+                    if term.startswith("?"):
+                        if bind.setdefault(term[1:], val) != val:
+                            ok = False
+                            break
+                    elif val != term:
+                        ok = False
+                        break
+                if ok:
+                    exts.append({k: v for k, v in bind.items() if k not in base})
+            per_opt.append(exts or [
+                {t[1:]: None for t in pat if t.startswith("?") and t[1:] not in base}
+            ])
+        import itertools as it
+        for combo in it.product(*per_opt):
+            merged = dict(base)
+            for ext in combo:
+                merged.update(ext)
+            out.add(tuple(sorted(merged.items())))
+    return out
+
+
+def test_optional_matches_oracle(spark):
+    from kgforge.graph.bgp import match_bgp_optional
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    patterns = [("?x", "works at", "?y")]
+    optional = [("?y", "located in", "?c"), ("?y", "acquired", "?z")]
+    res = match_bgp_optional(df, patterns, optional)
+    got = set(tuple(sorted(zip(res.columns, row))) for row in res.collect())
+    want = oracle_bgp_optional(EDGES, patterns, optional)
+    assert got == want
+    # sanity: omar's employer nova has no 'acquired' edge → z is NULL there
+    assert (("c", "lyon"), ("x", "omar"), ("y", "nova"), ("z", None)) in got
+    # acme has both → fully bound
+    assert (("c", "oslo"), ("x", "maria"), ("y", "acme"), ("z", "nova")) in got
+
+
+def test_optional_guards(spark):
+    from kgforge.graph.bgp import match_bgp_optional
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp_optional(df, [("?x", "works at", "?y")],
+                           [("?a", "knows", "?b")])
+    with pytest.raises(ValueError, match="binds no new variable"):
+        match_bgp_optional(df, [("?x", "works at", "?y")],
+                           [("?x", "knows", "?y")])
+    # keyed on another optional's output = shares nothing with REQUIRED
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp_optional(df, [("?x", "works at", "?y")],
+                           [("?y", "located in", "?c"),
+                            ("?c", "acquired", "?d")])
+    # two optionals binding the same new variable
+    with pytest.raises(ValueError, match="rebinds"):
+        match_bgp_optional(df, [("?x", "works at", "?y")],
+                           [("?y", "located in", "?c"),
+                            ("?y", "acquired", "?c")])
