@@ -23,11 +23,13 @@ Spark-first design (SURVEY §2.11 discipline):
   table is day-partitioned upstream (graph/temporal.py), so one text file
   per input partition is the right shape — no coalesce(1) bottleneck.
 
-Line shape (subject, predicate and object are IRIs; the optional
-``conf`` export would need RDF reification or RDF-star — deliberately out
-of scope, the confidence stays in the parquet edge table):
+Edge line shape (subject, predicate and object are IRIs; per-EDGE
+metadata like ``conf`` would need RDF reification or RDF-star —
+deliberately out of scope, the confidence stays in the parquet edge
+table — while per-ENTITY attributes travel as typed literals via
+``ntriples_attr_lines`` below):
 
-    <{base}entity/E000001> <{base}pred/works+at...> <{base}entity/E000002> .
+    <{base}entity/E000001> <{base}pred/works%20at> <{base}entity/E000002> .
 """
 
 from __future__ import annotations
@@ -143,4 +145,135 @@ def read_ntriples(
         _term("s", "entity").alias("subj_id"),
         _term("p", "pred").alias("pred"),
         _term("o", "entity").alias("obj_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed-literal attribute export/import (BACKLOG #16): entity attributes
+# (degrees, first/last crawl day, counts) travel beside the IRI-only edge
+# export as W3C literal statements:
+#     <{base}entity/E1> <{base}attr/out_degree> "42"^^<{XSD}integer> .
+# Literal escaping per the N-Triples STRING_LITERAL_QUOTE production
+# (backslash first, then quote, LF, CR, TAB) — all JVM `replace` chains.
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_XSD_FOR_SPARK = {
+    "string": "string",
+    "int": "integer",
+    "bigint": "integer",
+    "smallint": "integer",
+    "tinyint": "integer",
+    "double": "double",
+    "float": "double",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "dateTime",
+}
+
+
+def _escape_literal(col):
+    out = F.col(col).cast("string")
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def ntriples_attr_lines(
+    df: DataFrame,
+    subj_col: str,
+    attr_cols: list[str],
+    base: str = DEFAULT_BASE,
+) -> DataFrame:
+    """One N-Triples literal statement per (entity, attribute): subject
+    IRI as in ntriples_lines, predicate in the ``{base}attr/`` namespace,
+    object a typed literal whose XSD datatype derives from the Spark
+    column type. Null attributes are dropped (RDF has no null). Narrow —
+    one JVM map over the table, stacked per attribute then unioned by
+    Catalyst into a single scan."""
+    dtypes = dict(df.dtypes)
+    parts = []
+    for c in attr_cols:
+        xsd = _XSD_FOR_SPARK.get(dtypes.get(c, "string"), "string")
+        parts.append(
+            df.where(F.col(subj_col).isNotNull() & F.col(c).isNotNull())
+            .select(
+                F.concat(
+                    _iri("entity", subj_col, base),
+                    F.lit(f" <{base}attr/{c}> \""),
+                    _escape_literal(c),
+                    F.lit(f'"^^<{XSD}{xsd}> .'),
+                ).alias("line")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# literal statement: IRI subject, IRI predicate, quoted literal with the
+# escape sequences still encoded, optional ^^<datatype>
+_NT_LIT_LINE = (
+    r"^\s*<([^>]*)>\s+<([^>]*)>\s+"
+    r'"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>)?\s*\.\s*(?:#.*)?$'
+)
+
+
+def read_ntriples_attrs(
+    spark: SparkSession, path: str, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Inverse of ntriples_attr_lines → (subj_id, attr, value, datatype).
+    Values come back unescaped as strings (the datatype column carries
+    the XSD IRI for the caller to cast); IRI-object and junk lines drop.
+    Same two-regex-per-line budget as read_ntriples."""
+    raw = spark.read.text(path)
+    groups = F.split(
+        F.regexp_replace(
+            "value", _NT_LIT_LINE, f"$1{_SEP}$2{_SEP}$3{_SEP}$4"
+        ),
+        _SEP,
+    )
+    parts = (
+        raw.where(F.col("value").rlike(_NT_LIT_LINE))
+        .select(groups.alias("g"))
+        .where(F.size("g") == 4)
+    )
+    unescaped = F.col("g")[2]
+    # single-pass-safe unescape: hide escaped backslashes behind a
+    # sentinel FIRST, else a literal backslash-then-t ("a\\tb" on the
+    # wire, meaning backslash + 't') would be misread as a tab by the
+    # named-sequence replaces. \x02 is a control char, excluded from the
+    # literal production, so it cannot occur in well-formed input.
+    unescaped = F.replace(unescaped, F.lit("\\\\"), F.lit("\x02"))
+    for esc, raw_ch in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"),
+                        ('\\"', '"')):
+        unescaped = F.replace(unescaped, F.lit(esc), F.lit(raw_ch))
+    unescaped = F.replace(unescaped, F.lit("\x02"), F.lit("\\"))
+    ent_prefix = f"{base}entity/"
+    attr_prefix = f"{base}attr/"
+    subj = F.col("g")[0]
+    pred = F.col("g")[1]
+    return parts.select(
+        F.when(
+            subj.startswith(ent_prefix),
+            F.coalesce(
+                F.try_url_decode(
+                    F.replace(
+                        F.substring(subj, len(ent_prefix) + 1, 1 << 24),
+                        F.lit("+"),
+                        F.lit("%2B"),
+                    )
+                ),
+                subj,
+            ),
+        ).otherwise(subj).alias("subj_id"),
+        F.when(
+            pred.startswith(attr_prefix),
+            F.substring(pred, len(attr_prefix) + 1, 1 << 24),
+        ).otherwise(pred).alias("attr"),
+        unescaped.alias("value"),
+        F.col("g")[3].alias("datatype"),
     )

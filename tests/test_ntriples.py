@@ -120,3 +120,50 @@ def test_pipeline_edges_round_trip(spark):
         write_ntriples(df, path)
         got = sorted(tuple(r) for r in read_ntriples(spark, path).collect())
     assert got == sorted(rows)
+
+
+def test_attr_literals_round_trip(spark, tmp_path):
+    """Typed-literal attribute statements round-trip: values with quotes,
+    backslashes, tabs and newlines come back unescaped, datatypes derive
+    from Spark column types, nulls drop, and the lines are spec-shaped."""
+    from kgforge.io.ntriples import (
+        XSD,
+        ntriples_attr_lines,
+        read_ntriples_attrs,
+    )
+
+    rows = [
+        ("E1", 42, 'say "hi"\tback\\slash\nline', 3.5),
+        # literal backslash immediately before 't': the naive sequential
+        # unescape misread this as a tab (sentinel pass pins the fix)
+        ("E2", 1, "a\\tb", 0.0),
+        ("acme corp", 0, "plain", None),
+        (None, 7, "dropped subject", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id string, out_degree int, note string, score double"
+    )
+    lines_df = ntriples_attr_lines(
+        df, "entity_id", ["out_degree", "note", "score"]
+    )
+    lines = [r.line for r in lines_df.collect()]
+    # spec shape: every line is IRI IRI "literal"^^<dt> .
+    for ln in lines:
+        assert re.fullmatch(
+            r'<[^>]*> <[^>]*> "(?:[^"\\]|\\.)*"\^\^<[^>]*> \.', ln
+        ), ln
+        assert "\n" not in ln and "\t" not in ln
+    # null subject and null score dropped: 3 entities × attrs − 1 null
+    assert len(lines) == 8
+    p = str(tmp_path / "attrs.nt")
+    lines_df.write.mode("overwrite").text(p)
+    back = read_ntriples_attrs(spark, p)
+    got = {(r.subj_id, r.attr): (r.value, r.datatype) for r in back.collect()}
+    assert got[("E1", "out_degree")] == ("42", f"{XSD}integer")
+    assert got[("E1", "note")] == ('say "hi"\tback\\slash\nline', f"{XSD}string")
+    assert got[("E1", "score")] == ("3.5", f"{XSD}double")
+    assert got[("acme corp", "out_degree")] == ("0", f"{XSD}integer")
+    assert got[("E2", "note")] == ("a\\tb", f"{XSD}string")  # NOT a tab
+    assert ("acme corp", "score") not in got  # null attr dropped
+    plan = lines_df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
