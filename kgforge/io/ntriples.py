@@ -23,11 +23,10 @@ Spark-first design (SURVEY §2.11 discipline):
   table is day-partitioned upstream (graph/temporal.py), so one text file
   per input partition is the right shape — no coalesce(1) bottleneck.
 
-Edge line shape (subject, predicate and object are IRIs; per-EDGE
-metadata like ``conf`` would need RDF reification or RDF-star —
-deliberately out of scope, the confidence stays in the parquet edge
-table — while per-ENTITY attributes travel as typed literals via
-``ntriples_attr_lines`` below):
+Edge line shape (subject, predicate and object are IRIs; per-ENTITY
+attributes travel as typed literals via ``ntriples_attr_lines`` and
+per-EDGE metadata like ``conf`` as RDF-star quoted-triple statements via
+``ntriples_star_lines`` — both below):
 
     <{base}entity/E000001> <{base}pred/works%20at> <{base}entity/E000002> .
 """
@@ -276,4 +275,128 @@ def read_ntriples_attrs(
         ).otherwise(pred).alias("attr"),
         unescaped.alias("value"),
         F.col("g")[3].alias("datatype"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RDF-star edge-metadata export/import: per-EDGE attributes (confidence,
+# crawl day) cannot ride plain N-Triples without 4-triples-per-statement
+# reification, so they travel in the RDF-star quoted-triple form
+# (https://www.w3.org/2021/12/rdf-star.html — public draft adopted by the
+# major triple stores):
+#     <<<{base}entity/E1> <{base}pred/p> <{base}entity/E2>>>
+#         <{base}meta/conf> "0.9"^^<{XSD}double> .
+# ---------------------------------------------------------------------------
+
+
+def ntriples_star_lines(
+    edges: DataFrame,
+    meta_cols: list[str],
+    base: str = DEFAULT_BASE,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """One RDF-star statement per (edge, metadata column): the quoted
+    triple is the subject, the metadata value a typed literal. Null
+    metadata drops; the edge itself still travels via ntriples_lines
+    (stores that ignore RDF-star lose only the annotations)."""
+    dtypes = dict(edges.dtypes)
+    quoted = F.concat(
+        F.lit("<<"),
+        F.concat_ws(
+            " ",
+            _iri("entity", subj_col, base),
+            _iri("pred", pred_col, base),
+            _iri("entity", obj_col, base),
+        ),
+        F.lit(">>"),
+    )
+    parts = []
+    for c in meta_cols:
+        xsd = _XSD_FOR_SPARK.get(dtypes.get(c, "string"), "string")
+        parts.append(
+            edges.where(
+                F.col(subj_col).isNotNull()
+                & F.col(pred_col).isNotNull()
+                & F.col(obj_col).isNotNull()
+                & F.col(c).isNotNull()
+            ).select(
+                F.concat(
+                    quoted,
+                    F.lit(f' <{base}meta/{c}> "'),
+                    _escape_literal(c),
+                    F.lit(f'"^^<{XSD}{xsd}> .'),
+                ).alias("line")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_NT_STAR_LINE = (
+    r"^\s*<<\s*<([^>]*)>\s+<([^>]*)>\s+<([^>]*)>\s*>>\s+<([^>]*)>\s+"
+    r'"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>)?\s*\.\s*(?:#.*)?$'
+)
+
+
+def read_ntriples_star(
+    spark: SparkSession, path: str, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Inverse of ntriples_star_lines → (subj_id, pred, obj_id, meta,
+    value, datatype): the quoted edge decoded like read_ntriples, the
+    metadata key stripped of its ``{base}meta/`` namespace, the literal
+    unescaped (same sentinel discipline as read_ntriples_attrs)."""
+    raw = spark.read.text(path)
+    groups = F.split(
+        F.regexp_replace(
+            "value",
+            _NT_STAR_LINE,
+            _SEP.join(f"${i}" for i in range(1, 7)),
+        ),
+        _SEP,
+    )
+    parts = (
+        raw.where(F.col("value").rlike(_NT_STAR_LINE))
+        .select(groups.alias("g"))
+        .where(F.size("g") == 6)
+    )
+
+    def _dec(ix: int, kind: str):
+        prefix = f"{base}{kind}/"
+        enc = F.col("g")[ix]
+        return F.when(
+            enc.startswith(prefix),
+            F.coalesce(
+                F.try_url_decode(
+                    F.replace(
+                        F.substring(enc, len(prefix) + 1, 1 << 24),
+                        F.lit("+"),
+                        F.lit("%2B"),
+                    )
+                ),
+                enc,
+            ),
+        ).otherwise(enc)
+
+    meta_prefix = f"{base}meta/"
+    meta = F.col("g")[3]
+    unescaped = F.col("g")[4]
+    unescaped = F.replace(unescaped, F.lit("\\\\"), F.lit("\x02"))
+    for esc, raw_ch in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"),
+                        ('\\"', '"')):
+        unescaped = F.replace(unescaped, F.lit(esc), F.lit(raw_ch))
+    unescaped = F.replace(unescaped, F.lit("\x02"), F.lit("\\"))
+    return parts.select(
+        _dec(0, "entity").alias("subj_id"),
+        _dec(1, "pred").alias("pred"),
+        _dec(2, "entity").alias("obj_id"),
+        F.when(
+            meta.startswith(meta_prefix),
+            F.substring(meta, len(meta_prefix) + 1, 1 << 24),
+        ).otherwise(meta).alias("meta"),
+        unescaped.alias("value"),
+        F.col("g")[5].alias("datatype"),
     )

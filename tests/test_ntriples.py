@@ -167,3 +167,55 @@ def test_attr_literals_round_trip(spark, tmp_path):
     assert ("acme corp", "score") not in got  # null attr dropped
     plan = lines_df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_rdf_star_edge_metadata_round_trip(spark, tmp_path):
+    """Per-edge metadata (conf, day) round-trips through RDF-star
+    quoted-triple statements: the quoted edge decodes exactly like the
+    plain edge lines, datatypes derive from Spark types, nulls drop,
+    and plain/junk lines are ignored by the star reader."""
+    from kgforge.io.ntriples import (
+        XSD,
+        ntriples_star_lines,
+        read_ntriples_star,
+    )
+
+    rows = [
+        ("acme corp", "works at", "iron foods", 0.9, "2024-01-03"),
+        ("天河科技", "negotiated with", "李娜", 0.75, None),
+        (None, "x", "y", 1.0, "2024-01-01"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj_id string, pred string, obj_id string, conf double, day string",
+    )
+    lines_df = ntriples_star_lines(df, ["conf", "day"])
+    lines = [r.line for r in lines_df.collect()]
+    assert len(lines) == 3  # 2 confs + 1 day (null day + null subj drop)
+    for ln in lines:
+        assert re.fullmatch(
+            r'<<<[^>]*> <[^>]*> <[^>]*>>> <[^>]*> "(?:[^"\\]|\\.)*"'
+            r"\^\^<[^>]*> \.",
+            ln,
+        ), ln
+    p = str(tmp_path / "star.nt")
+    lines_df.write.mode("overwrite").text(p)
+    # a NEW file in the dataset dir (appending to a Spark part file
+    # invalidates its .crc): plain triples and comments must be ignored
+    with open(os.path.join(p, "part-junk.txt"), "w") as fh:
+        fh.write("# comment\n<http://x> <http://y> <http://z> .\n")
+    back = read_ntriples_star(spark, p)
+    got = {
+        (r.subj_id, r.pred, r.obj_id, r.meta): (r.value, r.datatype)
+        for r in back.collect()
+    }
+    assert len(got) == 3  # the plain-triple and comment lines drop
+    assert got[("acme corp", "works at", "iron foods", "conf")] == (
+        "0.9", f"{XSD}double",
+    )
+    assert got[("acme corp", "works at", "iron foods", "day")] == (
+        "2024-01-03", f"{XSD}string",
+    )
+    assert got[("天河科技", "negotiated with", "李娜", "conf")] == (
+        "0.75", f"{XSD}double",
+    )
