@@ -224,3 +224,39 @@ def match_bgp_window(
         (F.col("day") >= lo) & (F.col("day") <= hi)
     )
     return match_bgp(edges, patterns, **kw)
+
+
+def match_bgp_union(
+    edges: DataFrame,
+    groups: list[list[tuple[str, str, str]]],
+    **kw,
+) -> DataFrame:
+    """SPARQL UNION of pattern groups: the solutions of ANY group,
+    aligned on the union of all groups' variables — a variable a group
+    does not bind is NULL there (SPARQL's unbound). Each group is matched
+    independently under the same guards as match_bgp; cross-group
+    duplicate solutions collapse (set semantics, matching match_bgp —
+    this one distinct is over the final result, which unlike the removed
+    per-query distinct is NOT redundant: two groups can produce the same
+    binding).
+
+    >>> match_bgp_union(edges, [
+    ...     [("?x", "acquired", "?y")],
+    ...     [("?x", "merged with", "?y")],
+    ... ])
+    DataFrame[x, y]   # consolidation events of either kind
+    """
+    if not groups:
+        raise ValueError("empty UNION")
+    outs = [match_bgp(edges, g, **kw) for g in groups]
+    all_vars = sorted(set().union(*[set(o.columns) for o in outs]))
+    aligned = []
+    for o in outs:
+        for v in all_vars:
+            if v not in o.columns:
+                o = o.withColumn(v, F.lit(None).cast("string"))
+        aligned.append(o.select(*all_vars))
+    out = aligned[0]
+    for o in aligned[1:]:
+        out = out.unionByName(o)
+    return out.dropDuplicates()

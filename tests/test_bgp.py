@@ -230,3 +230,40 @@ def test_optional_guards(spark):
         match_bgp_optional(df, [("?x", "works at", "?y")],
                            [("?y", "located in", "?c"),
                             ("?y", "acquired", "?c")])
+
+
+def test_union_matches_oracle(spark):
+    from kgforge.graph.bgp import match_bgp_union
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    groups = [
+        [("?x", "works at", "?y")],           # binds x, y
+        [("?x", "knows", "?w")],              # binds x, w → y NULL here
+        [("?x", "works at", "?y")],           # duplicate group: must collapse
+    ]
+    res = match_bgp_union(df, groups)
+    got = set(tuple(sorted(zip(res.columns, row))) for row in res.collect())
+    want = set()
+    for g in groups:
+        for sol in oracle_bgp(EDGES, g):
+            merged = {"x": None, "y": None, "w": None}
+            merged.update(dict(sol))
+            want.add(tuple(sorted(merged.items())))
+    assert got == want
+    # the duplicate group contributed nothing extra
+    assert len(got) == len(
+        oracle_bgp(EDGES, groups[0]) | {
+            tuple(sorted((dict(s) | {"y": None}).items()))
+            for s in oracle_bgp(EDGES, groups[1])
+        }
+    )
+
+
+def test_union_guards(spark):
+    from kgforge.graph.bgp import match_bgp_union
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    with pytest.raises(ValueError, match="empty UNION"):
+        match_bgp_union(df, [])
+    with pytest.raises(ValueError, match="unanchored"):
+        match_bgp_union(df, [[("?a", "?b", "?c")]])
