@@ -169,6 +169,19 @@ def match_bgp_optional(
     ...     [("?y", "located in", "?c")])
     DataFrame[x, y, c]   # c is NULL for employers with no location edge
     """
+    # optional patterns get the SAME guards as required ones (they bypass
+    # match_bgp): reserved names, and the full-scan anchor check — an
+    # all-variable optional compiles to a projection of the entire edge
+    # table, exactly what require_anchor exists to refuse
+    for pat in optional:
+        for t in pat:
+            if _is_var(t) and t.startswith("?__"):
+                raise ValueError(f"variable name {t!r} is reserved (?__*)")
+        if kw.get("require_anchor", True) and all(_is_var(t) for t in pat):
+            raise ValueError(
+                f"unanchored optional pattern {pat} scans the full edge "
+                "table; pass require_anchor=False to run it"
+            )
     out = match_bgp(edges, patterns, **kw)
     required_vars = set(out.columns)
     introduced: set[str] = set()
@@ -256,6 +269,11 @@ def match_bgp_union(
             if v not in o.columns:
                 o = o.withColumn(v, F.lit(None).cast("string"))
         aligned.append(o.select(*all_vars))
+    if len(aligned) == 1:
+        # a single-group UNION is already distinct (match_bgp output is a
+        # set) — skip the full-result shuffle the cross-group distinct
+        # would pay for nothing
+        return aligned[0]
     out = aligned[0]
     for o in aligned[1:]:
         out = out.unionByName(o)

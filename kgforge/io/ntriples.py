@@ -124,26 +124,10 @@ def read_ntriples(
         )
     )
 
-    def _term(col: str, kind: str):
-        prefix = f"{base}{kind}/"
-        enc = F.col(col)
-        local = F.substring(enc, len(prefix) + 1, 1 << 24)
-        return F.when(
-            enc.startswith(prefix),
-            # try_url_decode → NULL on malformed percent sequences; fall
-            # back to the verbatim IRI instead of aborting the read
-            F.coalesce(
-                F.try_url_decode(
-                    F.replace(local, F.lit("+"), F.lit("%2B"))
-                ),
-                enc,
-            ),
-        ).otherwise(enc)
-
     return parts.select(
-        _term("s", "entity").alias("subj_id"),
-        _term("p", "pred").alias("pred"),
-        _term("o", "entity").alias("obj_id"),
+        _decode_iri(F.col("s"), "entity", base).alias("subj_id"),
+        _decode_iri(F.col("p"), "pred", base).alias("pred"),
+        _decode_iri(F.col("o"), "entity", base).alias("obj_id"),
     )
 
 
@@ -152,8 +136,9 @@ def read_ntriples(
 # (degrees, first/last crawl day, counts) travel beside the IRI-only edge
 # export as W3C literal statements:
 #     <{base}entity/E1> <{base}attr/out_degree> "42"^^<{XSD}integer> .
-# Literal escaping per the N-Triples STRING_LITERAL_QUOTE production
-# (backslash first, then quote, LF, CR, TAB) — all JVM `replace` chains.
+# Literal escaping per the N-Triples STRING_LITERAL_QUOTE production,
+# plus UCHAR escapes for the two control chars this module uses
+# internally — all JVM `replace` chains.
 # ---------------------------------------------------------------------------
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -171,13 +156,80 @@ _XSD_FOR_SPARK = {
     "timestamp": "dateTime",
 }
 
+# the readers split extracted groups on \x01, so a raw \x01 can never
+# reach _unescape_literal (a foreign line carrying one fails the group-
+# count gate and drops — documented out-of-scope, legal-but-rare since
+# the grammar excludes only quote/backslash/LF/CR). That makes \x01 the
+# one safe HEAD for multi-char placeholders during unescape; OUR writer
+# UCHAR-encodes \x00/\x01/\x02 so they never appear raw in output.
+_P_BS, _P0, _P1, _P2 = "\x01B", "\x01Z0", "\x01Z1", "\x01Z2"
 
-def _escape_literal(col):
-    out = F.col(col).cast("string")
+
+def _literal_value(col: str, dtype: str):
+    """Lexical form for one attribute column: xsd:dateTime requires the
+    'T' separator (Spark's cast-to-string uses a space, which conforming
+    stores reject); everything else casts."""
+    if dtype == "timestamp":
+        return F.date_format(F.col(col), "yyyy-MM-dd'T'HH:mm:ss")
+    return F.col(col).cast("string")
+
+
+def _escape_literal(col: str, dtype: str = "string"):
+    out = _literal_value(col, dtype)
     for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
-                     ("\r", "\\r"), ("\t", "\\t")):
+                     ("\r", "\\r"), ("\t", "\\t"),
+                     # UCHAR for the module's internal control chars (the
+                     # backslashes these introduce are fresh, hence AFTER
+                     # the backslash-doubling replace)
+                     ("\x00", "\\u0000"), ("\x01", "\\u0001"),
+                     ("\x02", "\\u0002")):
         out = F.replace(out, F.lit(raw), F.lit(esc))
     return out
+
+
+def _unescape_literal(col):
+    """Inverse of _escape_literal. Escaped backslashes hide behind a
+    placeholder FIRST (else a literal backslash-then-t on the wire would
+    be misread as a tab); UCHAR sequences decode via placeholders too,
+    because their outputs (\\x00/\\x01/\\x02, a backslash) could
+    otherwise collide with later replace patterns. Placeholders all head
+    with \\x01, which cannot occur raw in the input (see above), and
+    the \\x01-PRODUCING placeholder decodes LAST so a decoded \\x01
+    can never splice with following text into another placeholder."""
+    out = F.replace(col, F.lit("\\\\"), F.lit(_P_BS))
+    for esc, raw_ch in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"),
+                        ('\\"', '"')):
+        out = F.replace(out, F.lit(esc), F.lit(raw_ch))
+    for esc, ph in (("\\u0000", _P0), ("\\u0001", _P1), ("\\u0002", _P2)):
+        out = F.replace(out, F.lit(esc), F.lit(ph))
+    out = F.replace(out, F.lit(_P0), F.lit("\x00"))
+    out = F.replace(out, F.lit(_P2), F.lit("\x02"))
+    out = F.replace(out, F.lit(_P_BS), F.lit("\\"))
+    return F.replace(out, F.lit(_P1), F.lit("\x01"))
+
+
+def _decode_iri(col, kind: str, base: str):
+    """Shared IRI decode: strip the ``{base}{kind}/`` namespace and
+    percent-decode (try_url_decode → NULL on malformed sequences, fall
+    back to the verbatim IRI); foreign IRIs pass through unchanged."""
+    prefix = f"{base}{kind}/"
+    local = F.substring(col, len(prefix) + 1, 1 << 24)
+    return F.when(
+        col.startswith(prefix),
+        F.coalesce(
+            F.try_url_decode(F.replace(local, F.lit("+"), F.lit("%2B"))),
+            col,
+        ),
+    ).otherwise(col)
+
+
+def _encoded_name(name: str) -> str:
+    """Percent-encode a column name for use in a predicate IRI (driver-
+    side — names are plan-time constants). A name like "out degree" or
+    "conf>raw" would otherwise emit an invalid IRIREF."""
+    from urllib.parse import quote
+
+    return quote(name, safe="")
 
 
 def ntriples_attr_lines(
@@ -192,17 +244,20 @@ def ntriples_attr_lines(
     column type. Null attributes are dropped (RDF has no null). Narrow —
     one JVM map over the table, stacked per attribute then unioned by
     Catalyst into a single scan."""
+    if not attr_cols:
+        raise ValueError("attr_cols is empty — nothing to export")
     dtypes = dict(df.dtypes)
     parts = []
     for c in attr_cols:
-        xsd = _XSD_FOR_SPARK.get(dtypes.get(c, "string"), "string")
+        dtype = dtypes.get(c, "string")
+        xsd = _XSD_FOR_SPARK.get(dtype, "string")
         parts.append(
             df.where(F.col(subj_col).isNotNull() & F.col(c).isNotNull())
             .select(
                 F.concat(
                     _iri("entity", subj_col, base),
-                    F.lit(f" <{base}attr/{c}> \""),
-                    _escape_literal(c),
+                    F.lit(f' <{base}attr/{_encoded_name(c)}> "'),
+                    _escape_literal(c, dtype),
                     F.lit(f'"^^<{XSD}{xsd}> .'),
                 ).alias("line")
             )
@@ -221,13 +276,21 @@ _NT_LIT_LINE = (
 )
 
 
+def _null_if_empty(col):
+    # Java regexp_replace substitutes "" for a non-participating optional
+    # group — map it back to NULL so plain (untyped) literals read as
+    # datatype-IS-NULL, the natural caller check
+    return F.when(col == "", F.lit(None)).otherwise(col)
+
+
 def read_ntriples_attrs(
     spark: SparkSession, path: str, base: str = DEFAULT_BASE
 ) -> DataFrame:
     """Inverse of ntriples_attr_lines → (subj_id, attr, value, datatype).
     Values come back unescaped as strings (the datatype column carries
-    the XSD IRI for the caller to cast); IRI-object and junk lines drop.
-    Same two-regex-per-line budget as read_ntriples."""
+    the XSD IRI for the caller to cast, NULL for plain literals);
+    IRI-object and junk lines drop. Same two-regex-per-line budget as
+    read_ntriples."""
     raw = spark.read.text(path)
     groups = F.split(
         F.regexp_replace(
@@ -240,41 +303,11 @@ def read_ntriples_attrs(
         .select(groups.alias("g"))
         .where(F.size("g") == 4)
     )
-    unescaped = F.col("g")[2]
-    # single-pass-safe unescape: hide escaped backslashes behind a
-    # sentinel FIRST, else a literal backslash-then-t ("a\\tb" on the
-    # wire, meaning backslash + 't') would be misread as a tab by the
-    # named-sequence replaces. \x02 is a control char, excluded from the
-    # literal production, so it cannot occur in well-formed input.
-    unescaped = F.replace(unescaped, F.lit("\\\\"), F.lit("\x02"))
-    for esc, raw_ch in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"),
-                        ('\\"', '"')):
-        unescaped = F.replace(unescaped, F.lit(esc), F.lit(raw_ch))
-    unescaped = F.replace(unescaped, F.lit("\x02"), F.lit("\\"))
-    ent_prefix = f"{base}entity/"
-    attr_prefix = f"{base}attr/"
-    subj = F.col("g")[0]
-    pred = F.col("g")[1]
     return parts.select(
-        F.when(
-            subj.startswith(ent_prefix),
-            F.coalesce(
-                F.try_url_decode(
-                    F.replace(
-                        F.substring(subj, len(ent_prefix) + 1, 1 << 24),
-                        F.lit("+"),
-                        F.lit("%2B"),
-                    )
-                ),
-                subj,
-            ),
-        ).otherwise(subj).alias("subj_id"),
-        F.when(
-            pred.startswith(attr_prefix),
-            F.substring(pred, len(attr_prefix) + 1, 1 << 24),
-        ).otherwise(pred).alias("attr"),
-        unescaped.alias("value"),
-        F.col("g")[3].alias("datatype"),
+        _decode_iri(F.col("g")[0], "entity", base).alias("subj_id"),
+        _decode_iri(F.col("g")[1], "attr", base).alias("attr"),
+        _unescape_literal(F.col("g")[2]).alias("value"),
+        _null_if_empty(F.col("g")[3]).alias("datatype"),
     )
 
 
@@ -301,6 +334,8 @@ def ntriples_star_lines(
     triple is the subject, the metadata value a typed literal. Null
     metadata drops; the edge itself still travels via ntriples_lines
     (stores that ignore RDF-star lose only the annotations)."""
+    if not meta_cols:
+        raise ValueError("meta_cols is empty — nothing to export")
     dtypes = dict(edges.dtypes)
     quoted = F.concat(
         F.lit("<<"),
@@ -314,7 +349,8 @@ def ntriples_star_lines(
     )
     parts = []
     for c in meta_cols:
-        xsd = _XSD_FOR_SPARK.get(dtypes.get(c, "string"), "string")
+        dtype = dtypes.get(c, "string")
+        xsd = _XSD_FOR_SPARK.get(dtype, "string")
         parts.append(
             edges.where(
                 F.col(subj_col).isNotNull()
@@ -324,8 +360,8 @@ def ntriples_star_lines(
             ).select(
                 F.concat(
                     quoted,
-                    F.lit(f' <{base}meta/{c}> "'),
-                    _escape_literal(c),
+                    F.lit(f' <{base}meta/{_encoded_name(c)}> "'),
+                    _escape_literal(c, dtype),
                     F.lit(f'"^^<{XSD}{xsd}> .'),
                 ).alias("line")
             )
@@ -347,8 +383,8 @@ def read_ntriples_star(
 ) -> DataFrame:
     """Inverse of ntriples_star_lines → (subj_id, pred, obj_id, meta,
     value, datatype): the quoted edge decoded like read_ntriples, the
-    metadata key stripped of its ``{base}meta/`` namespace, the literal
-    unescaped (same sentinel discipline as read_ntriples_attrs)."""
+    metadata key decoded from its ``{base}meta/`` namespace, the literal
+    unescaped (shared _unescape_literal discipline)."""
     raw = spark.read.text(path)
     groups = F.split(
         F.regexp_replace(
@@ -363,40 +399,11 @@ def read_ntriples_star(
         .select(groups.alias("g"))
         .where(F.size("g") == 6)
     )
-
-    def _dec(ix: int, kind: str):
-        prefix = f"{base}{kind}/"
-        enc = F.col("g")[ix]
-        return F.when(
-            enc.startswith(prefix),
-            F.coalesce(
-                F.try_url_decode(
-                    F.replace(
-                        F.substring(enc, len(prefix) + 1, 1 << 24),
-                        F.lit("+"),
-                        F.lit("%2B"),
-                    )
-                ),
-                enc,
-            ),
-        ).otherwise(enc)
-
-    meta_prefix = f"{base}meta/"
-    meta = F.col("g")[3]
-    unescaped = F.col("g")[4]
-    unescaped = F.replace(unescaped, F.lit("\\\\"), F.lit("\x02"))
-    for esc, raw_ch in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"),
-                        ('\\"', '"')):
-        unescaped = F.replace(unescaped, F.lit(esc), F.lit(raw_ch))
-    unescaped = F.replace(unescaped, F.lit("\x02"), F.lit("\\"))
     return parts.select(
-        _dec(0, "entity").alias("subj_id"),
-        _dec(1, "pred").alias("pred"),
-        _dec(2, "entity").alias("obj_id"),
-        F.when(
-            meta.startswith(meta_prefix),
-            F.substring(meta, len(meta_prefix) + 1, 1 << 24),
-        ).otherwise(meta).alias("meta"),
-        unescaped.alias("value"),
-        F.col("g")[5].alias("datatype"),
+        _decode_iri(F.col("g")[0], "entity", base).alias("subj_id"),
+        _decode_iri(F.col("g")[1], "pred", base).alias("pred"),
+        _decode_iri(F.col("g")[2], "entity", base).alias("obj_id"),
+        _decode_iri(F.col("g")[3], "meta", base).alias("meta"),
+        _unescape_literal(F.col("g")[4]).alias("value"),
+        _null_if_empty(F.col("g")[5]).alias("datatype"),
     )

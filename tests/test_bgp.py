@@ -267,3 +267,20 @@ def test_union_guards(spark):
         match_bgp_union(df, [])
     with pytest.raises(ValueError, match="unanchored"):
         match_bgp_union(df, [[("?a", "?b", "?c")]])
+
+
+def test_optional_inherits_required_guards(spark):
+    from kgforge.graph.bgp import match_bgp_optional, match_bgp_union
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    with pytest.raises(ValueError, match="unanchored optional"):
+        match_bgp_optional(df, [("?x", "works at", "?y")],
+                           [("?y", "?p", "?v")])
+    with pytest.raises(ValueError, match="reserved"):
+        match_bgp_optional(df, [("?x", "works at", "?y")],
+                           [("?y", "located in", "?__c")])
+    # single-group UNION returns the group's solutions without the
+    # cross-group distinct (result equality is what matters here)
+    res = match_bgp_union(df, [[("?x", "works at", "?y")]])
+    got = set(tuple(sorted(zip(res.columns, row))) for row in res.collect())
+    assert got == oracle_bgp(EDGES, [("?x", "works at", "?y")])

@@ -219,3 +219,53 @@ def test_rdf_star_edge_metadata_round_trip(spark, tmp_path):
     assert got[("天河科技", "negotiated with", "李娜", "conf")] == (
         "0.75", f"{XSD}double",
     )
+
+
+def test_control_chars_datetime_and_odd_column_names(spark, tmp_path):
+    """Review-pass pins: \x00/\x01/\x02 in literal values round-trip via
+    UCHAR escapes (raw, they would collide with the reader's separator/
+    sentinel), timestamps export the xsd:dateTime 'T' lexical form, odd
+    column names percent-encode into valid predicate IRIs and decode
+    back, plain (untyped) foreign literals read datatype as NULL, and
+    empty column lists raise instead of IndexError."""
+    import datetime
+
+    import pytest as _pytest
+
+    from kgforge.io.ntriples import (
+        XSD,
+        ntriples_attr_lines,
+        ntriples_star_lines,
+        read_ntriples_attrs,
+    )
+
+    rows = [("E1", "a\x01b\x02c\x00d", "x y",
+             datetime.datetime(2024, 1, 3, 10, 30, 0))]
+    df = spark.createDataFrame(
+        rows, "entity_id string, note string, `out degree` string, ts timestamp"
+    )
+    lines_df = ntriples_attr_lines(
+        df, "entity_id", ["note", "out degree", "ts"]
+    )
+    lines = sorted(r.line for r in lines_df.collect())
+    assert any('"2024-01-03T10:30:00"^^<' + XSD + "dateTime" in ln
+               for ln in lines)
+    assert any("attr/out%20degree>" in ln for ln in lines)
+    for ln in lines:  # no raw control chars or spaces inside IRIs
+        assert "\x00" not in ln and "\x01" not in ln and "\x02" not in ln
+    p = str(tmp_path / "odd.nt")
+    lines_df.write.mode("overwrite").text(p)
+    with open(os.path.join(p, "part-plain.txt"), "w") as fh:
+        fh.write('<http://x> <http://y> "plain literal" .\n')
+    back = read_ntriples_attrs(spark, p)
+    got = {(r.subj_id, r.attr): (r.value, r.datatype) for r in back.collect()}
+    assert got[("E1", "note")] == ("a\x01b\x02c\x00d", f"{XSD}string")
+    assert got[("E1", "out degree")] == ("x y", f"{XSD}string")
+    assert got[("E1", "ts")] == ("2024-01-03T10:30:00", f"{XSD}dateTime")
+    assert got[("http://x", "http://y")] == ("plain literal", None)
+    with _pytest.raises(ValueError, match="empty"):
+        ntriples_attr_lines(df, "entity_id", [])
+    with _pytest.raises(ValueError, match="empty"):
+        ntriples_star_lines(df.withColumnRenamed("entity_id", "subj_id")
+                            .withColumn("pred", df.note)
+                            .withColumn("obj_id", df.note), [])
