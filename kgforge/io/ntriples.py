@@ -407,3 +407,59 @@ def read_ntriples_star(
         _unescape_literal(F.col("g")[4]).alias("value"),
         _null_if_empty(F.col("g")[5]).alias("datatype"),
     )
+
+
+def export_ntriples_by_day(
+    spark: SparkSession,
+    edges_path: str,
+    out_path: str,
+    base: str = DEFAULT_BASE,
+) -> list[str]:
+    """Incremental daily interchange dump: export each ``day=…``
+    partition of the materialized edge table (graph/temporal.py) to
+    ``{out_path}/day=…`` as N-Triples, skipping days already exported —
+    the interchange twin of the pipeline's resume discipline. Each day's
+    read carries the day predicate (a PartitionFilter: scan ∝ new days,
+    never the table) and commits via the shared manifest helper, so a
+    crash mid-day re-exports only that day. Returns the days exported
+    this call."""
+    import os as _os
+
+    from kgforge.io.tables import is_committed, manifest_path
+
+    days = sorted(
+        d[len("day="):]
+        for d in _os.listdir(edges_path)
+        if d.startswith("day=")
+    )
+    edges = spark.read.parquet(edges_path)
+    exported: list[str] = []
+    for day in days:
+        day_out = _os.path.join(out_path, f"day={day}")
+        if is_committed(day_out, stage="ntriples_export"):
+            continue
+        day_edges = edges.where(F.col("day") == day)
+        write_ntriples(day_edges, day_out, base=base)
+        # commit marker in the shared manifest format (status field, and
+        # the same write-then-rename atomicity as io.tables.write_table:
+        # a crash mid-dump must never read as committed); rows from the
+        # written text — a cheap count over one day's files
+        import json as _json
+
+        n = spark.read.text(day_out).count()
+        mp = manifest_path(day_out)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {
+                    "stage": "ntriples_export",
+                    "status": "committed",
+                    "row_count": n,
+                },
+                fh,
+            )
+            fh.flush()
+            _os.fsync(fh.fileno())
+        _os.replace(tmp, mp)
+        exported.append(day)
+    return exported

@@ -269,3 +269,51 @@ def test_control_chars_datetime_and_odd_column_names(spark, tmp_path):
         ntriples_star_lines(df.withColumnRenamed("entity_id", "subj_id")
                             .withColumn("pred", df.note)
                             .withColumn("obj_id", df.note), [])
+
+
+def test_incremental_daily_export(spark, tmp_path):
+    """export_ntriples_by_day exports only uncommitted day partitions
+    (resume discipline of the pipeline, applied to the interchange
+    seam), the day predicate prunes the scan, and the full read-back
+    equals the edge set."""
+    from kgforge.io.ntriples import export_ntriples_by_day
+
+    edges_path = str(tmp_path / "edges_by_day")
+    out_path = str(tmp_path / "nt_by_day")
+    rows1 = [("a", "p", "b", "2024-01-01"), ("c", "p", "d", "2024-01-02")]
+    df1 = spark.createDataFrame(
+        rows1, "subj_id string, pred string, obj_id string, day string"
+    )
+    df1.write.partitionBy("day").mode("overwrite").parquet(edges_path)
+    assert export_ntriples_by_day(spark, edges_path, out_path) == [
+        "2024-01-01", "2024-01-02",
+    ]
+    # re-run: nothing new
+    assert export_ntriples_by_day(spark, edges_path, out_path) == []
+    # a third day lands; only it exports (existing day files untouched)
+    df2 = spark.createDataFrame(
+        [("e", "q", "f", "2024-01-03")],
+        "subj_id string, pred string, obj_id string, day string",
+    )
+    df2.write.partitionBy("day").mode("append").parquet(edges_path)
+    before = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(out_path) for f in fs
+        if "day=2024-01-01" in r or "day=2024-01-02" in r
+    }
+    assert export_ntriples_by_day(spark, edges_path, out_path) == ["2024-01-03"]
+    after = {
+        p: os.path.getmtime(p) for p in before
+    }
+    assert before == after  # prior days not rewritten
+    got = sorted(
+        tuple(r) for r in read_ntriples(spark, out_path + "/day=*").collect()
+    )
+    assert got == sorted(
+        [(s, p, o) for (s, p, o, _d) in rows1] + [("e", "q", "f")]
+    )
+    # a torn manifest (crash mid-commit) re-exports that day
+    mp = os.path.join(out_path, "day=2024-01-03", "_kgforge_manifest.json")
+    with open(mp, "w") as fh:
+        fh.write("{not json")
+    assert export_ntriples_by_day(spark, edges_path, out_path) == ["2024-01-03"]
