@@ -64,6 +64,38 @@ def _compile_pattern(
     return df.select(*sel).dropDuplicates(), set(v[1:] for v in var_for_col.values())
 
 
+def _check_patterns(
+    patterns: list[tuple[str, str, str]],
+    require_anchor: bool,
+    per_pattern_anchor: bool,
+) -> None:
+    """Shared pattern validation. Reserved names: "__"-prefixed
+    variables belong to the internal ground-pattern existence markers —
+    allowing them would let the marker cleanup silently drop a user
+    binding. Anchor: an all-variable pattern set scans the full edge
+    table; required groups are checked as a WHOLE (one anchored pattern
+    bounds the join chain), optionals PER PATTERN (they never join each
+    other)."""
+    for p in patterns:
+        for t in p:
+            if _is_var(t) and t.startswith("?__"):
+                raise ValueError(f"variable name {t!r} is reserved (?__*)")
+    if not require_anchor:
+        return
+    if per_pattern_anchor:
+        for p in patterns:
+            if all(_is_var(t) for t in p):
+                raise ValueError(
+                    f"unanchored optional pattern {p} scans the full edge "
+                    "table; pass require_anchor=False to run it"
+                )
+    elif patterns and all(all(_is_var(t) for t in p) for p in patterns):
+        raise ValueError(
+            "unanchored BGP (every term of every pattern is a variable) "
+            "scans the full edge table; pass require_anchor=False to run it"
+        )
+
+
 def match_bgp(
     edges: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -83,20 +115,7 @@ def match_bgp(
     """
     if not patterns:
         raise ValueError("empty BGP")
-    for p in patterns:
-        for t in p:
-            if _is_var(t) and t.startswith("?__"):
-                # "__"-prefixed names are reserved for the internal
-                # ground-pattern existence markers; allowing them would
-                # let the marker cleanup silently drop a user binding
-                raise ValueError(f"variable name {t!r} is reserved (?__*)")
-    if require_anchor and all(
-        all(_is_var(t) for t in p) for p in patterns
-    ):
-        raise ValueError(
-            "unanchored BGP (every term of every pattern is a variable) "
-            "scans the full edge table; pass require_anchor=False to run it"
-        )
+    _check_patterns(patterns, require_anchor, per_pattern_anchor=False)
     compiled = [
         _compile_pattern(edges, p, ix) for ix, p in enumerate(patterns)
     ]
@@ -170,18 +189,13 @@ def match_bgp_optional(
     DataFrame[x, y, c]   # c is NULL for employers with no location edge
     """
     # optional patterns get the SAME guards as required ones (they bypass
-    # match_bgp): reserved names, and the full-scan anchor check — an
-    # all-variable optional compiles to a projection of the entire edge
-    # table, exactly what require_anchor exists to refuse
-    for pat in optional:
-        for t in pat:
-            if _is_var(t) and t.startswith("?__"):
-                raise ValueError(f"variable name {t!r} is reserved (?__*)")
-        if kw.get("require_anchor", True) and all(_is_var(t) for t in pat):
-            raise ValueError(
-                f"unanchored optional pattern {pat} scans the full edge "
-                "table; pass require_anchor=False to run it"
-            )
+    # match_bgp), via the shared checker in its PER-PATTERN anchor mode:
+    # optionals never join each other, so a single all-variable optional
+    # already compiles to a full-table projection (in a required group
+    # only the all-variable WHOLE group is a full scan)
+    _check_patterns(
+        optional, kw.get("require_anchor", True), per_pattern_anchor=True
+    )
     out = match_bgp(edges, patterns, **kw)
     required_vars = set(out.columns)
     introduced: set[str] = set()

@@ -166,11 +166,39 @@ _P_BS, _P0, _P1, _P2 = "\x01B", "\x01Z0", "\x01Z1", "\x01Z2"
 
 
 def _literal_value(col: str, dtype: str):
-    """Lexical form for one attribute column: xsd:dateTime requires the
-    'T' separator (Spark's cast-to-string uses a space, which conforming
-    stores reject); everything else casts."""
+    """Lexical form for one attribute column.
+
+    xsd:dateTime is built from the exact UTC epoch micros
+    (``unix_micros``), NOT ``date_format`` — that renders in the session
+    timezone with no zone designator, so the same instant would export a
+    shifted wall-clock on a non-UTC cluster (the edges_with_day
+    discipline, stages/canonicalize.py) — and carries full microseconds
+    plus the 'Z' designator. xsd:double's lexical space spells infinities
+    INF/-INF (Spark's cast says "Infinity", which conforming stores
+    reject); NaN matches already. Everything else casts."""
     if dtype == "timestamp":
-        return F.date_format(F.col(col), "yyyy-MM-dd'T'HH:mm:ss")
+        us = F.unix_micros(F.col(col))
+        day = F.floor(us / F.lit(86_400_000_000))
+        in_day = us - day * F.lit(86_400_000_000)
+        return F.concat(
+            F.date_add(F.to_date(F.lit("1970-01-01")), day.cast("int"))
+            .cast("string"),
+            F.lit("T"),
+            F.format_string(
+                "%02d:%02d:%02d.%06dZ",
+                F.floor(in_day / F.lit(3_600_000_000)),
+                F.floor(in_day / F.lit(60_000_000)) % F.lit(60),
+                F.floor(in_day / F.lit(1_000_000)) % F.lit(60),
+                in_day % F.lit(1_000_000),
+            ),
+        )
+    if dtype in ("double", "float"):
+        s = F.col(col).cast("string")
+        return (
+            F.when(s == "Infinity", F.lit("INF"))
+            .when(s == "-Infinity", F.lit("-INF"))
+            .otherwise(s)
+        )
     return F.col(col).cast("string")
 
 
@@ -425,12 +453,18 @@ def export_ntriples_by_day(
     this call."""
     import os as _os
 
-    from kgforge.io.tables import is_committed, manifest_path
+    from kgforge.io.tables import commit_manifest, is_committed
 
     days = sorted(
         d[len("day="):]
         for d in _os.listdir(edges_path)
-        if d.startswith("day=")
+        # a day=__HIVE_DEFAULT_PARTITION__ directory holds NULL-day edges
+        # (warc_ts failed the long cast upstream) — a string equality on
+        # "day" can never select them, so exporting "that day" would
+        # commit an EMPTY dump and silently lose the rows forever; skip
+        # the directory instead (null-day edges are a pipeline anomaly,
+        # not a day)
+        if d.startswith("day=") and "__HIVE_DEFAULT_PARTITION__" not in d
     )
     edges = spark.read.parquet(edges_path)
     exported: list[str] = []
@@ -440,26 +474,14 @@ def export_ntriples_by_day(
             continue
         day_edges = edges.where(F.col("day") == day)
         write_ntriples(day_edges, day_out, base=base)
-        # commit marker in the shared manifest format (status field, and
-        # the same write-then-rename atomicity as io.tables.write_table:
-        # a crash mid-dump must never read as committed); rows from the
-        # written text — a cheap count over one day's files
-        import json as _json
-
-        n = spark.read.text(day_out).count()
-        mp = manifest_path(day_out)
-        tmp = mp + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(
-                {
-                    "stage": "ntriples_export",
-                    "status": "committed",
-                    "row_count": n,
-                },
-                fh,
-            )
-            fh.flush()
-            _os.fsync(fh.fileno())
-        _os.replace(tmp, mp)
+        # row_count from the PRUNED parquet partition, not a re-read of
+        # the just-written text (which would double the export I/O — the
+        # run_pipeline --export-ntriples discipline)
+        n = ntriples_lines(day_edges, base=base).count()
+        commit_manifest(
+            day_out,
+            {"stage": "ntriples_export", "status": "committed",
+             "row_count": n},
+        )
         exported.append(day)
     return exported

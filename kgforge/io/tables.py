@@ -119,8 +119,14 @@ def write_table(
         "lineage": partition_lineage(data_df, stage) if collect_lineage else [],
         "committed_at": time.time(),
     }
-    # atomic commit: write-then-rename so a crash mid-dump never leaves a
-    # half-written manifest that reads as committed
+    commit_manifest(path, manifest)
+    return manifest
+
+
+def commit_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest commit: write-then-rename so a crash mid-dump
+    never leaves a half-written manifest that reads as committed. Shared
+    by write_table and the incremental N-Triples exporter."""
     mp = manifest_path(path)
     tmp = mp + ".tmp"
     with open(tmp, "w") as fh:
@@ -128,7 +134,6 @@ def write_table(
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, mp)
-    return manifest
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

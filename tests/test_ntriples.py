@@ -248,7 +248,8 @@ def test_control_chars_datetime_and_odd_column_names(spark, tmp_path):
         df, "entity_id", ["note", "out degree", "ts"]
     )
     lines = sorted(r.line for r in lines_df.collect())
-    assert any('"2024-01-03T10:30:00"^^<' + XSD + "dateTime" in ln
+    # UTC epoch-derived lexical form: 'T' separator, microseconds, 'Z'
+    assert any('"2024-01-03T10:30:00.000000Z"^^<' + XSD + "dateTime" in ln
                for ln in lines)
     assert any("attr/out%20degree>" in ln for ln in lines)
     for ln in lines:  # no raw control chars or spaces inside IRIs
@@ -261,7 +262,9 @@ def test_control_chars_datetime_and_odd_column_names(spark, tmp_path):
     got = {(r.subj_id, r.attr): (r.value, r.datatype) for r in back.collect()}
     assert got[("E1", "note")] == ("a\x01b\x02c\x00d", f"{XSD}string")
     assert got[("E1", "out degree")] == ("x y", f"{XSD}string")
-    assert got[("E1", "ts")] == ("2024-01-03T10:30:00", f"{XSD}dateTime")
+    assert got[("E1", "ts")] == (
+        "2024-01-03T10:30:00.000000Z", f"{XSD}dateTime",
+    )
     assert got[("http://x", "http://y")] == ("plain literal", None)
     with _pytest.raises(ValueError, match="empty"):
         ntriples_attr_lines(df, "entity_id", [])
@@ -317,3 +320,47 @@ def test_incremental_daily_export(spark, tmp_path):
     with open(mp, "w") as fh:
         fh.write("{not json")
     assert export_ntriples_by_day(spark, edges_path, out_path) == ["2024-01-03"]
+
+
+def test_datetime_fractional_infinity_and_null_day_skip(spark, tmp_path):
+    """Review-pass-5 pins: fractional seconds survive the dateTime
+    lexical form, xsd:double infinities spell INF/-INF, and the daily
+    exporter skips the __HIVE_DEFAULT_PARTITION__ directory instead of
+    committing an empty dump for NULL-day edges."""
+    import datetime
+
+    from kgforge.io.ntriples import (
+        XSD,
+        export_ntriples_by_day,
+        ntriples_attr_lines,
+    )
+
+    df = spark.createDataFrame(
+        [("E1", datetime.datetime(2024, 1, 3, 10, 30, 0, 250000),
+          float("inf"), float("-inf"))],
+        "entity_id string, ts timestamp, hi double, lo double",
+    )
+    lines = sorted(
+        r.line for r in ntriples_attr_lines(
+            df, "entity_id", ["ts", "hi", "lo"]
+        ).collect()
+    )
+    assert any('"2024-01-03T10:30:00.250000Z"' in ln for ln in lines)
+    assert any(f'"INF"^^<{XSD}double' in ln for ln in lines)
+    assert any(f'"-INF"^^<{XSD}double' in ln for ln in lines)
+
+    edges_path = str(tmp_path / "edges_by_day")
+    rows = [("a", "p", "b", "2024-01-01"), ("x", "p", "y", None)]
+    sdf = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, day string"
+    )
+    sdf.write.partitionBy("day").mode("overwrite").parquet(edges_path)
+    assert os.path.isdir(
+        os.path.join(edges_path, "day=__HIVE_DEFAULT_PARTITION__")
+    )
+    out_path = str(tmp_path / "nt_by_day")
+    assert export_ntriples_by_day(spark, edges_path, out_path) == ["2024-01-01"]
+    # the null-day directory was skipped, not committed empty
+    assert not os.path.exists(
+        os.path.join(out_path, "day=__HIVE_DEFAULT_PARTITION__")
+    )
