@@ -102,15 +102,21 @@ def match_bgp(
     *,
     require_anchor: bool = True,
     allow_product: bool = False,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """Distinct variable bindings satisfying every triple pattern.
 
     ``edges`` needs columns (subj_id, pred, obj_id); extra columns are
     ignored. Variables are ``?name`` strings; the result carries one
-    column per variable (without the ``?``).
+    column per variable (without the ``?``). ``filters`` are SPARQL
+    FILTER analogs: SQL boolean expressions over the variable columns
+    (``"x != y"``, ``"c like 'oslo%'"``), applied after the joins —
+    Catalyst pushes them into the join where the expression allows, and
+    an expression naming an unbound variable fails analysis loudly.
 
     >>> match_bgp(edges, [("?x", "works at", "?y"),
-    ...                   ("?y", "located in", "oslo")])
+    ...                   ("?y", "located in", "oslo")],
+    ...           filters=["x != y"])
     DataFrame[x: string, y: string]
     """
     if not patterns:
@@ -160,11 +166,16 @@ def match_bgp(
     drop = [c for c in out.columns if c.startswith("__exists_")]
     if drop:
         out = out.drop(*drop)
+    for expr in filters or []:
+        # filtering a set yields a set, so the no-final-distinct argument
+        # below still holds
+        out = out.where(F.expr(expr))
     # no final dropDuplicates: every compiled pattern is already distinct,
     # and an equi-join of SETS on their shared variables is a set (so is a
-    # cross by the one-row ground marker) — a trailing global distinct
-    # would re-shuffle the entire result for nothing (measured: the full
-    # 5M-binding hub chain pays one extra 5M-row exchange)
+    # cross by the one-row ground marker, and so is any filter of a set)
+    # — a trailing global distinct would re-shuffle the entire result for
+    # nothing (measured: the full 5M-binding hub chain pays one extra
+    # 5M-row exchange)
     return out
 
 

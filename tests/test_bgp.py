@@ -284,3 +284,28 @@ def test_optional_inherits_required_guards(spark):
     res = match_bgp_union(df, [[("?x", "works at", "?y")]])
     got = set(tuple(sorted(zip(res.columns, row))) for row in res.collect())
     assert got == oracle_bgp(EDGES, [("?x", "works at", "?y")])
+
+
+def test_filters(spark):
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    # FILTER(?a != ?b) over the symmetric-pair case drops nothing here
+    # (no self-loop matches the pair), but over "knows" alone it drops
+    # omar's self-loop — oracle: post-filter the brute-force bindings
+    got = set(
+        tuple(sorted(zip(r.__fields__, r)))
+        for r in match_bgp(
+            df, [("?a", "knows", "?b")], filters=["a != b"]
+        ).collect()
+    )
+    want = {
+        s for s in oracle_bgp(EDGES, [("?a", "knows", "?b")])
+        if dict(s)["a"] != dict(s)["b"]
+    }
+    assert got == want and got  # nonempty: maria/wei both ways
+    # LIKE-style filter
+    got2 = [
+        tuple(r) for r in match_bgp(
+            df, [("?x", "works at", "?y")], filters=["y like 'ac%'"]
+        ).collect()
+    ]
+    assert sorted(got2) == [("maria", "acme"), ("wei", "acme")]
