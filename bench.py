@@ -294,6 +294,27 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     ).count()
     timings["kg_bgp_anchored"] = round(time.perf_counter() - t0, 3)
 
+    # CYCLIC BGP (round-5 WCOJ, BACKLOG #15): the works-at/acquired/
+    # works-at triangle routes both legs of the hub wedge through the
+    # 30%-hot entity. The binary plan must materialize every open wedge
+    # before the closing join can discard non-triangles; the HyperCube +
+    # cell-local generic-join path (graph/wcoj.py) bounds communication
+    # to O(shares x input) regardless of hub degree. Both are timed on
+    # the same pattern so the record carries the comparison.
+    from kgforge.graph.wcoj import match_bgp_cycle
+
+    cycle = [
+        ("?a", "works at", "?b"),
+        ("?b", "acquired", "?c"),
+        ("?c", "works at", "?a"),
+    ]
+    t0 = time.perf_counter()
+    n_cycle_binary = match_bgp(edges_tbl, cycle).count()
+    timings["kg_bgp_cycle_binary"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_cycle_wcoj = match_bgp_cycle(edges_tbl, cycle).count()
+    timings["kg_bgp_cycle_wcoj"] = round(time.perf_counter() - t0, 3)
+
     total += (
         timings["kg_refdata"]
         + timings["kg_normalize"]
@@ -309,6 +330,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         + timings["kg_pred_canon"]
         + timings["kg_bgp_chain"]
         + timings["kg_bgp_anchored"]
+        + timings["kg_bgp_cycle_binary"]
+        + timings["kg_bgp_cycle_wcoj"]
     )
 
     result = {
@@ -329,6 +352,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "kg_canonical_predicates": n_canon_preds,
         "kg_bgp_matches": n_bgp,
         "kg_bgp_anchored_matches": n_bgp_anchored,
+        "kg_bgp_cycle_matches": {"binary": n_cycle_binary, "wcoj": n_cycle_wcoj},
         "unbounded_near_dup": unbounded,
     }
     spark.stop()

@@ -77,6 +77,13 @@ def _cycle_layout(
             "match_bgp_cycle handles exactly 3 patterns (the 3-variable "
             f"cycle); got {len(patterns)} — use match_bgp"
         )
+    for p in patterns:
+        for t in p:
+            if _is_var(t) and t.startswith("?__"):
+                raise ValueError(
+                    f"variable name {t!r} is reserved (?__*) — it would "
+                    "collide with the internal cube columns"
+                )
     var_sets = []
     for p in patterns:
         vs = {t[1:] for t in p if _is_var(t)}
@@ -106,9 +113,13 @@ def _cell_triangle_closer(vars_sorted: list[str], chunk_rows: int):
     def close_cell(pdf):
         import pandas as pd
 
-        r01 = pdf[pdf["__rel"] == 0][[v0, v1]]
-        r12 = pdf[pdf["__rel"] == 1][[v1, v2]]
-        r02 = pdf[pdf["__rel"] == 2][[v0, v2]]
+        # .dropna(): SQL equi-joins (the match_bgp plan) never match NULL
+        # keys, but pandas merge on object dtype CAN pair None with None —
+        # drop null bindings up front so both plans agree on edge tables
+        # that carry NULL subj/obj values.
+        r01 = pdf[pdf["__rel"] == 0][[v0, v1]].dropna()
+        r12 = pdf[pdf["__rel"] == 1][[v1, v2]].dropna()
+        r02 = pdf[pdf["__rel"] == 2][[v0, v2]].dropna()
         empty = pd.DataFrame({v0: [], v1: [], v2: []}, dtype=object)
         if len(r01) == 0 or len(r12) == 0 or len(r02) == 0:
             return empty

@@ -138,6 +138,31 @@ def test_shape_guards(spark):
         )
     with pytest.raises(ValueError, match="shares"):
         match_bgp_cycle(df, CYCLES[0], shares=0)
+    # reserved internal names (same contract as match_bgp's guard)
+    with pytest.raises(ValueError, match="reserved"):
+        match_bgp_cycle(
+            df,
+            [("?__c0", "supplies", "?b"), ("?b", "supplies", "?c"),
+             ("?c", "supplies", "?__c0")],
+        )
+
+
+def test_null_bindings_match_sql_semantics(spark):
+    """SQL equi-joins never match NULL keys; the pandas cell closer must
+    agree (it drops null bindings up front), so both plans produce the
+    same result on an edge table carrying NULL subj/obj values."""
+    edges = EDGES + [(None, "supplies", "b"), ("b", "supplies", None)]
+    df = spark.createDataFrame(
+        edges, "subj_id string, pred string, obj_id string"
+    )
+    got = match_bgp_cycle(df, CYCLES[0], shares=2)
+    rows = set(tuple(sorted(zip(got.columns, r))) for r in got.collect())
+    binary = match_bgp(df, CYCLES[0])
+    assert rows == set(
+        tuple(sorted(zip(binary.columns, r))) for r in binary.collect()
+    )
+    # and the nulls changed nothing vs the null-free fixture
+    assert rows == oracle_cycle(EDGES, CYCLES[0])
 
 
 def test_default_shares_from_parallelism(spark):
