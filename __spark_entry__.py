@@ -476,6 +476,57 @@ def _kg_sameas_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sameas_candidates(_kg_day_edges(spark, sf_dir))
 
 
+def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP serving layer as one tagged family query (the
+    round-5 ann_suite/dedup_stats pattern): three shapes over the
+    canonical edge table, each capped to the first 200 bindings under the
+    total order (a, b, c) — bindings are unique triples, so the cut is
+    deterministic.
+
+    * ``chain``   — graph.bgp.match_bgp, the left-deep keyed-join planner:
+      ``?a acquired ?b . ?b works at ?c``.
+    * ``cycle``   — graph.wcoj.match_bgp_cycle, the worst-case-optimal
+      HyperCube + generic-join path on the triangle
+      ``?a works at ?b . ?b acquired ?c . ?c works at ?a``.
+    * ``optional`` — graph.bgp.match_bgp_optional (SPARQL OPTIONAL left
+      join): ``?a acquired ?b OPTIONAL ?b located in ?c``.
+
+    Oracle: expected twin (_bgp_family — brute-force dict/set evaluation,
+    independent of both planners)."""
+    from kgforge.graph.bgp import match_bgp, match_bgp_optional
+    from kgforge.graph.wcoj import match_bgp_cycle
+
+    edges = _kg_day_edges(spark, sf_dir).select("subj_id", "pred", "obj_id")
+    shapes = {
+        "chain": match_bgp(
+            edges, [("?a", "acquired", "?b"), ("?b", "works at", "?c")]
+        ),
+        "cycle": match_bgp_cycle(
+            edges,
+            [
+                ("?a", "works at", "?b"),
+                ("?b", "acquired", "?c"),
+                ("?c", "works at", "?a"),
+            ],
+        ),
+        "optional": match_bgp_optional(
+            edges,
+            [("?a", "acquired", "?b")],
+            [("?b", "located in", "?c")],
+        ),
+    }
+    parts = [
+        df.orderBy(F.asc_nulls_first("a"), F.asc_nulls_first("b"), F.asc_nulls_first("c"))
+        .limit(200)
+        .select(F.lit(shape).alias("shape"), "a", "b", "c")
+        for shape, df in shapes.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _kg_pred_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate canonicalization (extract.predicates): lemma + synonym
     collapse computed on the DISTINCT predicate set driver-side and
@@ -548,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _kg_components,
         "kg_kcore": _kg_kcore,
         "kg_sameas_candidates": _kg_sameas_candidates,
+        "kg_bgp": _kg_bgp,
     }
     from kgforge.queries import QUERIES
 

@@ -736,7 +736,7 @@ _FOLDED = {
     for name in [
         "text_quality", "repetition_bigrams",
         "langid_heuristic", "token_count_bpeish", "doc_fingerprint",
-        "dedup_exact", "near_dup_clusters",
+        "dedup_exact", "near_dup_clusters", "simhash_buckets",
         "tumbling_window_counts", "sessionize", "daily_retention",
         "ann_cosine_topk", "lsh_bucketed_ann", "knn_label_vote",
         "ivf_ann_topk", "embedding_near_dup",
@@ -867,5 +867,10 @@ ORACLES["dedup_stats"] = "\nUNION ALL\n".join([
         _FOLDED["near_dup_clusters"],
         "'near' AS family, CAST(survivor AS BIGINT) AS survivor,"
         " CAST(n_members AS BIGINT) AS n1, CAST(n_removed AS BIGINT) AS n2",
+    ),
+    _wrap(
+        _FOLDED["simhash_buckets"],
+        "'simhash' AS family, CAST(simhash AS BIGINT) AS survivor,"
+        f" CAST(n AS BIGINT) AS n1, {_NULL_L} AS n2",
     ),
 ])

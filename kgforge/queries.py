@@ -1447,7 +1447,10 @@ def q_event_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-family rollup: exact content-hash dedup stats + top-20
-    near-dup clusters (verified Jaccard pairs → CC → survivor)."""
+    near-dup clusters (verified Jaccard pairs → CC → survivor) + the
+    top-30 SimHash bucket histogram (folded in round 5 to free the
+    registry slot now held by kg_bgp; the per-operator query stays in
+    BENCH_QUERIES for individual timing)."""
     _, nl, _ = _nulls()
     ex = q_dedup_exact(spark, sf_dir).select(
         F.lit("exact").alias("family"),
@@ -1461,20 +1464,28 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("long").alias("n1"),
         F.col("n_removed").cast("long").alias("n2"),
     )
-    return ex.unionByName(near)
+    sim = q_simhash_buckets(spark, sf_dir).select(
+        F.lit("simhash").alias("family"),
+        F.col("simhash").cast("long").alias("survivor"),
+        F.col("n").cast("long").alias("n1"),
+        nl.alias("n2"),
+    )
+    return ex.unionByName(near).unionByName(sim)
 
 
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
-# Round-5 registry: 25 general + 25 kg_* = 50 registered queries, exactly
+# Round-5 registry: 24 general + 26 kg_* = 50 registered queries, exactly
 # at the driver's proven 50-row record cap, so EVERY registered query gets
 # a recorded driver row each round (round-4 verdict #1 / ADVICE medium #2).
-# The 18 per-operator queries that used to be registered individually now
+# The 19 per-operator queries that used to be registered individually now
 # flow through 6 tagged family queries (q_ann_suite, q_scalar_metrics,
 # q_text_signals, q_quality_signals, q_event_suite, q_dedup_stats) — same
-# plans, same rows, one registry slot per family.
+# plans, same rows, one registry slot per family. simhash_buckets folded
+# into q_dedup_stats late round 5 to free the slot for kg_bgp (the BGP
+# serving-layer contract query).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_dropna": q_scan_dropna,
     "even_line_sampling": q_even_line_sampling,
@@ -1496,7 +1507,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stats": q_dedup_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "simhash_buckets": q_simhash_buckets,
     "event_suite": q_event_suite,
     "ann_suite": q_ann_suite,
     "scalar_metrics": q_scalar_metrics,
@@ -1507,6 +1517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # names here so bench.py can still time each operator individually and
 # plan tests can target a single family member.
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "simhash_buckets": q_simhash_buckets,
     "text_quality": q_text_quality,
     "repetition_bigrams": q_repetition_bigrams,
     "langid_heuristic": q_langid_heuristic,
