@@ -1,7 +1,7 @@
 """Driver-contract smoke tests: entry() runs and yields rows with a stable
 schema; every oracle has a query; multimodal fake-decode plumbing works.
 (The full Spark-vs-DuckDB value comparison runs via
-tools/check_correctness.py — 26/26 at sf0.001 and sf0.01.)"""
+tools/check_correctness.py — 50/50 at sf0.01.)"""
 
 import __spark_entry__ as entrymod
 
