@@ -315,6 +315,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     n_cycle_wcoj = match_bgp_cycle(edges_tbl, cycle).count()
     timings["kg_bgp_cycle_wcoj"] = round(time.perf_counter() - t0, 3)
 
+    # property path (SPARQL pred+): 4-hop any-predicate forward cone from
+    # the hot entity — driver-paced BFS, one keyed join per hop, seen-set
+    # anti-join bounds the frontier by unique nodes even through the hub
+    from kgforge.graph.paths import reachable_from
+
+    t0 = time.perf_counter()
+    n_reach = reachable_from(edges_tbl, "E000001", None, max_hops=4).count()
+    timings["kg_path_reach"] = round(time.perf_counter() - t0, 3)
+
     total += (
         timings["kg_refdata"]
         + timings["kg_normalize"]
@@ -332,6 +341,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         + timings["kg_bgp_anchored"]
         + timings["kg_bgp_cycle_binary"]
         + timings["kg_bgp_cycle_wcoj"]
+        + timings["kg_path_reach"]
     )
 
     result = {
@@ -353,6 +363,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "kg_bgp_matches": n_bgp,
         "kg_bgp_anchored_matches": n_bgp_anchored,
         "kg_bgp_cycle_matches": {"binary": n_cycle_binary, "wcoj": n_cycle_wcoj},
+        "kg_path_reach_nodes": n_reach,
         "unbounded_near_dup": unbounded,
     }
     spark.stop()
