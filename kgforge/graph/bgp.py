@@ -264,6 +264,60 @@ def match_bgp_window(
     return match_bgp(edges, patterns, **kw)
 
 
+def match_bgp_not_exists(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    negative: list[tuple[str, str, str]],
+    *,
+    require_anchor: bool = True,
+    allow_product: bool = False,
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL ``FILTER NOT EXISTS``: solutions of ``patterns`` for which
+    no compatible evaluation of the ``negative`` group exists. Because
+    match_bgp solutions bind every variable, this equals SPARQL MINUS
+    whenever the two groups share at least one variable — which is
+    enforced (a negative group sharing nothing would either remove
+    everything or nothing depending on one global existence bit; say
+    which one you mean with a ground existence pattern instead).
+
+    One anti-join carries the whole semantics: the negative group is
+    evaluated as its own BGP (same planner, same guards; ``filters``
+    apply to the REQUIRED group only — they may name variables the
+    negative group never binds), projected to the shared variables,
+    de-duplicated, and left-anti-joined against the solutions. At scale
+    the anti join is a keyed shuffle (or a broadcast once the distinct
+    negative projection is small) — never a per-solution subquery.
+
+    >>> match_bgp_not_exists(edges,
+    ...     [("?x", "works at", "?y")],
+    ...     [("?y", "located in", "?z")])
+    DataFrame[x, y]   # employees of employers with NO known location
+    """
+    out = match_bgp(
+        edges,
+        patterns,
+        require_anchor=require_anchor,
+        allow_product=allow_product,
+        filters=filters,
+    )
+    neg = match_bgp(
+        edges,
+        negative,
+        require_anchor=require_anchor,
+        allow_product=allow_product,
+    )
+    shared = sorted(set(out.columns) & set(neg.columns))
+    if not shared:
+        raise ValueError(
+            "NOT EXISTS group shares no variable with the required group "
+            "— the result would be all-or-nothing on one global existence "
+            "bit; use a ground existence pattern in the required group "
+            "instead"
+        )
+    return out.join(neg.select(*shared).distinct(), on=shared, how="left_anti")
+
+
 def match_bgp_union(
     edges: DataFrame,
     groups: list[list[tuple[str, str, str]]],

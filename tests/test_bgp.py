@@ -309,3 +309,76 @@ def test_filters(spark):
         ).collect()
     ]
     assert sorted(got2) == [("maria", "acme"), ("wei", "acme")]
+
+
+def oracle_not_exists(edges, patterns, negative):
+    """Brute force NOT EXISTS: keep a solution iff no negative-group
+    evaluation agrees with it on every shared variable."""
+    neg_sols = oracle_bgp(edges, negative)
+    out = set()
+    for sol in oracle_bgp(edges, patterns):
+        s = dict(sol)
+        killed = False
+        for n in neg_sols:
+            nd = dict(n)
+            if all(s[k] == v for k, v in nd.items() if k in s):
+                killed = True
+                break
+        if not killed:
+            out.add(sol)
+    return out
+
+
+NOT_EXISTS_CASES = [
+    # employers with no known location (nothing here — both have one)
+    ([("?x", "works at", "?y")], [("?y", "located in", "?z")]),
+    # people whose employer was NOT acquired by anyone
+    ([("?x", "works at", "?y")], [("?z", "acquired", "?y")]),
+    # knows-pairs where the knower does NOT work at acme (constant anchor
+    # in the negative group)
+    ([("?a", "knows", "?b")], [("?a", "works at", "acme")]),
+    # two shared variables: knows-pairs that are not ALSO works-at pairs
+    ([("?a", "knows", "?b")], [("?a", "works at", "?b")]),
+    # negative group that matches nothing: everything survives
+    ([("?x", "works at", "?y")], [("?y", "acquired", "oslo")]),
+]
+
+
+@pytest.mark.parametrize("patterns,negative", NOT_EXISTS_CASES)
+def test_not_exists_matches_oracle(spark, patterns, negative):
+    from kgforge.graph.bgp import match_bgp_not_exists
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    res = match_bgp_not_exists(df, patterns, negative)
+    got = set(tuple(sorted(zip(res.columns, row))) for row in res.collect())
+    assert got == oracle_not_exists(EDGES, patterns, negative)
+
+
+def test_not_exists_sanity_and_guards(spark):
+    from kgforge.graph.bgp import match_bgp_not_exists
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    # the un-acquired employer is acme (nova was acquired): maria and wei
+    res = match_bgp_not_exists(
+        df, [("?x", "works at", "?y")], [("?z", "acquired", "?y")]
+    )
+    assert sorted(
+        (r["x"], r["y"]) for r in res.collect()
+    ) == [("maria", "acme"), ("wei", "acme")]
+    # filters apply to the REQUIRED group only
+    res2 = match_bgp_not_exists(
+        df,
+        [("?a", "knows", "?b")],
+        [("?a", "works at", "acme")],
+        filters=["a != b"],
+    )
+    assert sorted(tuple(r) for r in res2.collect()) == []  # omar self-loop cut
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp_not_exists(
+            df, [("?x", "works at", "?y")], [("?a", "knows", "?b")]
+        )
+    # negative group inherits the anchor guard
+    with pytest.raises(ValueError, match="anchor"):
+        match_bgp_not_exists(
+            df, [("?x", "works at", "?y")], [("?x", "?p", "?v")]
+        )
