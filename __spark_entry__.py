@@ -496,7 +496,14 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.graph.bgp import match_bgp, match_bgp_optional
     from kgforge.graph.wcoj import match_bgp_cycle
 
-    edges = _kg_day_edges(spark, sf_dir).select("subj_id", "pred", "obj_id")
+    # localCheckpoint: the three shapes compile ~7 separate scans of this
+    # relation — without the cut, each scan replays the full extraction
+    # lineage (docstream + rewrite). Pay extraction once, like bench.py.
+    edges = (
+        _kg_day_edges(spark, sf_dir)
+        .select("subj_id", "pred", "obj_id")
+        .localCheckpoint()
+    )
     shapes = {
         "chain": match_bgp(
             edges, [("?a", "acquired", "?b"), ("?b", "works at", "?c")]

@@ -64,12 +64,12 @@ def reachable_from(
         raise ValueError(
             f"min_hops must be in [0, max_hops], got {min_hops}"
         )
-    rel = edges.select("subj_id", "obj_id")
     if preds is not None:
         plist = [preds] if isinstance(preds, str) else list(preds)
-        rel = edges.where(F.col("pred").isin(plist)).select(
-            "subj_id", "obj_id"
-        )
+        rel = edges.where(F.col("pred").isin(plist))
+    else:
+        rel = edges
+    rel = rel.select("subj_id", "obj_id")
     # one distinct pair table for every hop: filtered once, keyed on the
     # join column, lineage cut so hop N's plan does not replay the scan.
     # Self-loops stay — SPARQL pred+ reaches a self-looping node from

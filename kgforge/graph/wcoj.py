@@ -57,13 +57,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgforge.graph.bgp import _compile_pattern, _is_var
+from kgforge.graph.bgp import _check_patterns, _compile_pattern, _is_var
 
 _CELL = ("__c0", "__c1", "__c2")
 
 
 def _cycle_layout(
     patterns: list[tuple[str, str, str]],
+    require_anchor: bool,
 ) -> tuple[list[str], list[tuple[int, int]]]:
     """Validate the 3-cycle shape and fix a canonical variable order.
 
@@ -77,13 +78,9 @@ def _cycle_layout(
             "match_bgp_cycle handles exactly 3 patterns (the 3-variable "
             f"cycle); got {len(patterns)} — use match_bgp"
         )
-    for p in patterns:
-        for t in p:
-            if _is_var(t) and t.startswith("?__"):
-                raise ValueError(
-                    f"variable name {t!r} is reserved (?__*) — it would "
-                    "collide with the internal cube columns"
-                )
+    # shared guards with match_bgp (reserved ?__* names; all-variable
+    # groups scan the full edge table and are refused unless opted out)
+    _check_patterns(patterns, require_anchor, per_pattern_anchor=False)
     var_sets = []
     for p in patterns:
         vs = {t[1:] for t in p if _is_var(t)}
@@ -165,6 +162,7 @@ def match_bgp_cycle(
     *,
     shares: int | None = None,
     chunk_rows: int = 65536,
+    require_anchor: bool = True,
 ) -> DataFrame:
     """Distinct bindings of a 3-variable CYCLIC BGP, evaluated with
     HyperCube partitioning + cell-local generic join (worst-case-optimal
@@ -182,11 +180,15 @@ def match_bgp_cycle(
     ...                         ("?c", "supplies", "?a")])
     DataFrame[a: string, b: string, c: string]
     """
-    vars_sorted, axes = _cycle_layout(patterns)
+    if chunk_rows < 1:
+        raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
+    vars_sorted, axes = _cycle_layout(patterns, require_anchor)
     spark = edges.sparkSession
     if shares is None:
+        import math
+
         par = spark.sparkContext.defaultParallelism
-        shares = max(2, round((2 * max(1, par)) ** (1.0 / 3.0)))
+        shares = max(2, math.ceil((2 * max(1, par)) ** (1.0 / 3.0)))
     s = int(shares)
     if s < 1:
         raise ValueError(f"shares must be >= 1, got {shares}")
@@ -223,7 +225,11 @@ def match_bgp_cycle(
     cube = tagged[0]
     for df in tagged[1:]:
         cube = cube.unionByName(df)
-    schema = ", ".join(f"{v} string" for v in vars_sorted)
+    # StructType, not a DDL string: variable names only need to be valid
+    # DataFrame column names (match_bgp's contract), not SQL identifiers
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(v, StringType()) for v in vars_sorted])
     return cube.groupBy(*_CELL).applyInPandas(
         _cell_triangle_closer(vars_sorted, chunk_rows), schema=schema
     )

@@ -145,6 +145,41 @@ def test_shape_guards(spark):
             [("?__c0", "supplies", "?b"), ("?b", "supplies", "?c"),
              ("?c", "supplies", "?__c0")],
         )
+    with pytest.raises(ValueError, match="chunk_rows"):
+        match_bgp_cycle(df, CYCLES[0], chunk_rows=0)
+    with pytest.raises(ValueError, match="chunk_rows"):
+        match_bgp_cycle(df, CYCLES[0], chunk_rows=-1)
+    # all-variable cycle (repeated var per pattern keeps the 2-var shape)
+    # is a full-table scan: refused like match_bgp, same escape hatch
+    unanchored = [("?a", "?a", "?b"), ("?b", "?b", "?c"), ("?c", "?c", "?a")]
+    with pytest.raises(ValueError, match="unanchored"):
+        match_bgp_cycle(df, unanchored)
+
+
+def test_unanchored_escape_and_odd_var_names(spark):
+    # the require_anchor=False escape runs the all-variable cycle; a
+    # fixture where pred values double as node names gives it matches
+    edges = [
+        ("p", "p", "q"), ("q", "q", "r"), ("r", "r", "p"),
+        ("p", "p", "z"),  # open wedge
+    ]
+    df = spark.createDataFrame(
+        edges, "subj_id string, pred string, obj_id string"
+    )
+    pats = [("?a", "?a", "?b"), ("?b", "?b", "?c"), ("?c", "?c", "?a")]
+    got = match_bgp_cycle(df, pats, shares=2, require_anchor=False)
+    rows = set(tuple(sorted(zip(got.columns, r))) for r in got.collect())
+    assert rows == oracle_cycle(edges, pats)
+    assert len(rows) == 3  # the p-q-r rotations
+    # variable names that are not bare SQL identifiers (match_bgp accepts
+    # them; the cycle path must too — StructType schema, not DDL)
+    df2 = _df(spark)
+    pats2 = [("?a-1", "supplies", "?b"), ("?b", "supplies", "?c"),
+             ("?c", "supplies", "?a-1")]
+    got2 = match_bgp_cycle(df2, pats2, shares=2)
+    rows2 = set(tuple(sorted(zip(got2.columns, r))) for r in got2.collect())
+    assert rows2 == oracle_cycle(EDGES, pats2)
+    assert len(rows2) == 6
 
 
 def test_null_bindings_match_sql_semantics(spark):
