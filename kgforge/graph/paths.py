@@ -50,13 +50,18 @@ def reachable_from(
     """Entities reachable from ``source`` along directed edges whose
     predicate is in ``preds`` (a single predicate, a list = SPARQL
     alternation ``(p1|p2)+``, or None = any predicate), within
-    ``min_hops..max_hops`` hops. Returns (node, hops) where ``hops`` is
-    the SHORTEST distance — each node appears exactly once, the source
+    ``min_hops..max_hops`` hops. A ``^`` prefix inverts a predicate
+    (SPARQL inverse path): ``"^acquired"`` follows acquired edges
+    BACKWARD, and mixing ``["owns", "^owns"]`` walks the undirected
+    closure of owns. Returns (node, hops) where ``hops`` is the
+    SHORTEST distance — each node appears exactly once, the source
     itself only if a cycle returns to it (SPARQL ``pred+`` semantics;
     use ``min_hops=0`` for ``pred*``, which adds the source at hop 0).
 
     >>> reachable_from(edges, "E000001", "acquired", max_hops=3)
     DataFrame[node: string, hops: int]
+    >>> reachable_from(edges, "E000001", "^acquired", max_hops=3)
+    DataFrame[node: string, hops: int]   # who transitively acquired it
     """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
@@ -66,10 +71,31 @@ def reachable_from(
         )
     if preds is not None:
         plist = [preds] if isinstance(preds, str) else list(preds)
-        rel = edges.where(F.col("pred").isin(plist))
+        if not plist:
+            raise ValueError(
+                "empty preds list — pass None for any-predicate"
+            )
+        forward = [p for p in plist if not p.startswith("^")]
+        inverse = [p[1:] for p in plist if p.startswith("^")]
+        parts = []
+        if forward:
+            parts.append(
+                edges.where(F.col("pred").isin(forward)).select(
+                    "subj_id", "obj_id"
+                )
+            )
+        if inverse:
+            parts.append(
+                edges.where(F.col("pred").isin(inverse)).select(
+                    F.col("obj_id").alias("subj_id"),
+                    F.col("subj_id").alias("obj_id"),
+                )
+            )
+        rel = parts[0]
+        for p in parts[1:]:
+            rel = rel.unionByName(p)
     else:
-        rel = edges
-    rel = rel.select("subj_id", "obj_id")
+        rel = edges.select("subj_id", "obj_id")
     # one distinct pair table for every hop: filtered once, keyed on the
     # join column, lineage cut so hop N's plan does not replay the scan.
     # Self-loops stay — SPARQL pred+ reaches a self-looping node from

@@ -32,6 +32,8 @@ def bfs_oracle(edges, source, preds, max_hops, min_hops=1):
     for s, p, o in edges:
         if preds is None or p in preds:
             adj.setdefault(s, set()).add(o)
+        if preds is not None and "^" + p in preds:
+            adj.setdefault(o, set()).add(s)
     dist = {}
     q = deque([(source, 0)])
     while q:
@@ -63,6 +65,10 @@ CASES = [
     ("q", ["owns"], 4, 1),   # sink: empty result
     ("a", ["owns"], 8, 0),   # pred*: source at hop 0
     ("a", ["owns"], 8, 2),   # pred{2,8}: hop-1 nodes filtered out
+    ("d", ["^owns"], 8, 1),  # inverse: who transitively owns d
+    ("y", ["^rents"], 8, 1), # inverse up the rents chain
+    ("b", ["owns", "^owns"], 8, 1),  # undirected closure of owns
+    ("x", ["rents", "^owns"], 2, 1),  # mixed directions, truncated
 ]
 
 
@@ -101,3 +107,22 @@ def test_guards(spark):
         reachable_from(df, "a", "owns", max_hops=0)
     with pytest.raises(ValueError, match="min_hops"):
         reachable_from(df, "a", "owns", max_hops=3, min_hops=4)
+    with pytest.raises(ValueError, match="empty preds"):
+        reachable_from(df, "a", [], max_hops=3)
+
+
+def test_inverse_equals_forward_on_reversed_graph(spark):
+    # ^pred from n equals pred from n on the edge-reversed graph
+    rev = [(o, p, s) for s, p, o in EDGES]
+    got_inv = {
+        (r["node"], r["hops"])
+        for r in reachable_from(_df(spark), "d", "^owns", max_hops=8).collect()
+    }
+    rdf = spark.createDataFrame(
+        rev, "subj_id string, pred string, obj_id string"
+    )
+    got_fwd = {
+        (r["node"], r["hops"])
+        for r in reachable_from(rdf, "d", "owns", max_hops=8).collect()
+    }
+    assert got_inv == got_fwd and got_inv
