@@ -507,3 +507,159 @@ def stream_windowed_doc_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_bgp_view_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current incrementally-maintained BGP binding view (None before the
+    first applied batch). One string column per pattern variable."""
+    import json
+    import os
+
+    marker = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(marker):
+        return None
+    rec = json.loads(open(marker).read())
+    return spark.read.parquet(
+        os.path.join(state_dir, f"view_v{rec['batch_id']}")
+    )
+
+
+def stream_bgp_view(
+    spark: SparkSession,
+    input_dir: str,
+    alias_map_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    patterns: list[tuple[str, str, str]],
+    backend: str = "mock",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental maintenance of a MATERIALIZED BGP VIEW (the second
+    streaming x serving composition, after ``stream_degree_over_time``):
+    for a fixed 2-pattern BGP the persisted binding view always equals
+    ``graph.bgp.match_bgp`` recomputed over the cumulative distinct edge
+    set (equivalence asserted in tests/test_stateful_streaming.py).
+
+    Incremental-view-maintenance delta rule for a binary join — with
+    E = old edges, Δ = this batch's NEW distinct edges (anti-joined
+    against the standing set, exactly like the degree stream):
+
+        Δview = P1(Δ) ⋈ P2(E ∪ Δ)  ∪  P1(E) ⋈ P2(Δ)
+
+    (the classic ΔR1 ⋈ R2_new ∪ R1_old ⋈ ΔR2 — Δ⋈Δ lands in the first
+    term exactly once). Both terms are single-pattern compilations
+    (distinct projections) joined on the shared variables, so each term
+    is a set; a final anti-join against the standing view keeps set
+    semantics even for patterns whose projection does not determine the
+    contributing edge uniquely (variable predicates). Per batch the work
+    is Δ-proportional: two keyed joins whose left/right side is the
+    batch delta, never a recompute over history.
+
+    State layout + exactly-once discipline are shared with the other
+    incremental streams (uuid checkpoint lineage, versioned overwrite
+    writes ``bgp_edges_v<id>`` / ``view_v<id>``, atomic ``_LATEST`` flip
+    last, replayed batch ids skipped). Scale path: the cumulative edge
+    set is the day-partitioned edge table itself (MERGE INTO touching
+    the batch's days) and the view merge is a MERGE INTO keyed on the
+    variable columns — per-batch IO proportional to the delta.
+    """
+    import os
+
+    from kgforge.graph.bgp import _check_patterns, _compile_pattern
+    from kgforge.stages.canonicalize import rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+
+    if len(patterns) != 2:
+        raise ValueError(
+            "stream_bgp_view maintains a 2-pattern BGP view; got "
+            f"{len(patterns)} patterns (compose wider views downstream, "
+            "or run match_bgp as a batch query)"
+        )
+    _check_patterns(patterns, require_anchor=True, per_pattern_anchor=True)
+    probe_vars = []
+    for ix, p in enumerate(patterns):
+        vs = {t[1:] for t in p if t.startswith("?") and len(t) > 1}
+        probe_vars.append(vs)
+    shared = sorted(probe_vars[0] & probe_vars[1])
+    if not shared:
+        raise ValueError(
+            "the two patterns share no variable — the view would be a "
+            "cross product; use match_bgp(allow_product=True) as a batch "
+            "query if that is really what you want"
+        )
+
+    mention_map = spark.read.parquet(alias_map_path).select(
+        F.col("alias").alias("mention"), "canon_id"
+    )
+    reader = spark.readStream.schema(WEBDOCS_DDL).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir).withWatermark("warc_ts", "1 day")
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_identity = _checkpoint_identity(checkpoint_dir)
+
+    def _match_pair(left_edges, right_edges):
+        """P1(left) ⋈ P2(right) on the shared variables — both sides are
+        distinct single-pattern projections, so the join is a set."""
+        l, _ = _compile_pattern(left_edges, patterns[0], 0)
+        r, _ = _compile_pattern(right_edges, patterns[1], 1)
+        return l.join(r, on=shared, how="inner")
+
+    def process_batch(batch_df, batch_id: int):
+        import json
+
+        sess = batch_df.sparkSession
+        marker = os.path.join(state_dir, "_LATEST")
+        last_applied = _marker_last_applied(
+            marker, checkpoint_dir, ckpt_identity, state_dir
+        )
+        if batch_id <= last_applied:
+            return
+        batch_edges = (
+            rewrite_triples(
+                extract_docstream(batch_df, backend=backend), mention_map
+            )
+            .select("subj_id", "pred", "obj_id")
+            .distinct()
+        )
+        cur_edges = None
+        if os.path.exists(marker):
+            rec = json.loads(open(marker).read())
+            cur_edges = sess.read.parquet(
+                os.path.join(state_dir, f"bgp_edges_v{rec['batch_id']}")
+            )
+        new_edges = (
+            batch_edges.join(
+                cur_edges, ["subj_id", "pred", "obj_id"], "left_anti"
+            )
+            if cur_edges is not None
+            else batch_edges
+        ).localCheckpoint()
+        all_edges = (
+            cur_edges.unionAll(new_edges) if cur_edges is not None else new_edges
+        )
+        delta = _match_pair(new_edges, all_edges)
+        if cur_edges is not None:
+            delta = delta.unionByName(_match_pair(cur_edges, new_edges))
+        cur_view = read_bgp_view_state(sess, state_dir)
+        if cur_view is not None:
+            fresh = delta.dropDuplicates().join(
+                cur_view, on=list(cur_view.columns), how="left_anti"
+            )
+            merged = cur_view.unionByName(fresh)
+        else:
+            merged = delta.dropDuplicates()
+        all_edges.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"bgp_edges_v{batch_id}")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"view_v{batch_id}")
+        )
+        _flip_marker(marker, ckpt_identity, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

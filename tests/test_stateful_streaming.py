@@ -130,3 +130,103 @@ def test_stream_degree_over_time_matches_batch(spark, tmp_path):
     q3.awaitTermination(180)
     got2 = sorted(tuple(r) for r in read_degree_state(spark, state).collect())
     assert got2 == batch_rows(webdocs_path)
+
+
+def test_stream_bgp_view_matches_batch(spark, tmp_path):
+    """The incrementally-maintained BGP view (delta-rule joins over new
+    edges only) must equal match_bgp recomputed over the cumulative
+    distinct edge set after multi-batch ingest; a catch-up run changes
+    nothing; overlapping re-crawl input merges to the grown batch
+    result (set semantics — re-asserted edges add no bindings)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from kgforge.fixtures.gen import write_fixture_tables
+    from kgforge.graph.bgp import match_bgp
+    from kgforge.stages.canonicalize import rewrite_triples
+    from kgforge.stages.docstream import extract_docstream
+    from kgforge.stages.link import alias_resolution
+    from kgforge.streaming.ingest import read_bgp_view_state, stream_bgp_view
+
+    fx = str(tmp_path / "fxb")
+    webdocs_path, alias_path = write_fixture_tables(spark, fx, 70, partitions=3)
+    amap_path = str(tmp_path / "alias_map_b")
+    alias_resolution(spark.read.parquet(alias_path)).write.parquet(amap_path)
+    patterns = [("?a", "acquired", "?b"), ("?b", "works at", "?c")]
+
+    def batch_rows(src_path):
+        mention_map = spark.read.parquet(amap_path).select(
+            F.col("alias").alias("mention"), "canon_id"
+        )
+        edges = rewrite_triples(
+            extract_docstream(spark.read.parquet(src_path)), mention_map
+        ).select("subj_id", "pred", "obj_id")
+        res = match_bgp(edges, patterns)
+        return sorted(
+            tuple(sorted(zip(res.columns, r))) for r in res.collect()
+        )
+
+    state, ckpt = str(tmp_path / "bstate"), str(tmp_path / "bckpt")
+    q = stream_bgp_view(
+        spark, webdocs_path, amap_path, state, ckpt, patterns,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    versions = [d for d in os.listdir(state) if d.startswith("view_v")]
+    assert len(versions) >= 2  # multiple micro-batches actually merged
+    view = read_bgp_view_state(spark, state)
+    got = sorted(tuple(sorted(zip(view.columns, r))) for r in view.collect())
+    assert got == batch_rows(webdocs_path)
+    assert len(got) > 0
+
+    # catch-up with no new input: state unchanged
+    q2 = stream_bgp_view(
+        spark, webdocs_path, amap_path, state, ckpt, patterns,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+    view2 = read_bgp_view_state(spark, state)
+    assert sorted(
+        tuple(sorted(zip(view2.columns, r))) for r in view2.collect()
+    ) == got
+
+    # overlapping re-crawl + genuinely new docs: view equals the batch
+    # recompute over the grown input (no double bindings, new ones found)
+    fx2 = str(tmp_path / "fxb2")
+    more_path, _ = write_fixture_tables(spark, fx2, 100, partitions=1)
+    for i, f in enumerate(glob.glob(os.path.join(more_path, "*.parquet"))):
+        os.link(f, os.path.join(webdocs_path, f"grow_{i}.parquet"))
+    q3 = stream_bgp_view(
+        spark, webdocs_path, amap_path, state, ckpt, patterns,
+        max_files_per_trigger=1,
+    )
+    q3.awaitTermination(180)
+    view3 = read_bgp_view_state(spark, state)
+    got3 = sorted(
+        tuple(sorted(zip(view3.columns, r))) for r in view3.collect()
+    )
+    assert got3 == batch_rows(webdocs_path)
+    assert len(got3) >= len(got)
+
+
+def test_stream_bgp_view_guards(spark, tmp_path):
+    from kgforge.streaming.ingest import stream_bgp_view
+
+    import pytest
+
+    with pytest.raises(ValueError, match="2-pattern"):
+        stream_bgp_view(
+            spark, "x", "y", str(tmp_path / "s"), str(tmp_path / "c"),
+            [("?a", "acquired", "?b")],
+        )
+    with pytest.raises(ValueError, match="share no variable"):
+        stream_bgp_view(
+            spark, "x", "y", str(tmp_path / "s"), str(tmp_path / "c"),
+            [("?a", "acquired", "?b"), ("?c", "works at", "?d")],
+        )
+    with pytest.raises(ValueError, match="unanchored"):
+        stream_bgp_view(
+            spark, "x", "y", str(tmp_path / "s"), str(tmp_path / "c"),
+            [("?a", "acquired", "?b"), ("?b", "?p", "?c")],
+        )
