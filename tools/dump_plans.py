@@ -143,6 +143,39 @@ def main() -> int:
         "moves |E| sketch rows, never the quadratic wedge fan-out "
         "(tolerance-gated vs the exact plan in tests).",
     )
+    bare_edges = edges.select("subj_id", "pred", "obj_id")
+    from kgforge.graph.bgp import match_bgp
+
+    dump(
+        "match_bgp chain (keyed joins, pushed predicates)",
+        match_bgp(
+            bare_edges,
+            [("?a", "acquired", "?b"), ("?b", "works at", "?c")],
+        ),
+        "Each pattern's constant predicate reaches its scan as a filter; "
+        "the conjunction is one keyed equi-join on the shared variable — "
+        "no CartesianProduct, no trailing distinct (set semantics argued "
+        "in bgp.py, gated in tests/test_bgp.py).",
+    )
+    from kgforge.graph.wcoj import match_bgp_cycle
+
+    dump(
+        "match_bgp_cycle (HyperCube + cell-local generic join)",
+        match_bgp_cycle(
+            bare_edges,
+            [
+                ("?a", "works at", "?b"),
+                ("?b", "acquired", "?c"),
+                ("?c", "works at", "?a"),
+            ],
+            shares=2,
+        ),
+        "Three filtered projections explode along their free cube axis "
+        "and union; ONE exchange (the groupBy on the 3 cell coordinates) "
+        "feeds the Arrow generic-join stage — the wedge set is never "
+        "materialized or shuffled (cells provably disjoint, "
+        "tests/test_wcoj.py).",
+    )
     print("\n".join(out))
     spark.stop()
     return 0
