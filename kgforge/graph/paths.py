@@ -75,7 +75,15 @@ def reachable_from(
             raise ValueError(
                 "empty preds list — pass None for any-predicate"
             )
-        forward = [p for p in plist if not p.startswith("^")]
+        # "^" is the inverse operator (SPARQL syntax); a predicate whose
+        # NAME literally starts with "^" (predicates are free text from
+        # the extractor) is queryable forward via a single leading
+        # backslash escape: "\\^follows" matches the literal "^follows".
+        forward = [
+            p[1:] if p.startswith("\\") else p
+            for p in plist
+            if not p.startswith("^")
+        ]
         inverse = [p[1:] for p in plist if p.startswith("^")]
         parts = []
         if forward:

@@ -254,12 +254,14 @@ def merge_edge_states(cur: DataFrame | None, batch_agg: DataFrame) -> DataFrame:
     )
 
 
-def read_edge_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Current compacted edge state (None before the first applied batch).
-    Columns: subj_id, pred, obj_id, n, last(ts, url)."""
-    import os
-
+def _read_versioned_state(
+    spark: SparkSession, state_dir: str, prefix: str
+) -> DataFrame | None:
+    """Shared reader for the incremental streams' versioned state tables
+    (``<prefix><batch_id>`` parquet + ``_LATEST`` marker; None before the
+    first applied batch; loud error on the legacy plain-int marker)."""
     import json
+    import os
 
     marker = os.path.join(state_dir, "_LATEST")
     if not os.path.exists(marker):
@@ -267,10 +269,18 @@ def read_edge_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | N
     rec = json.loads(open(marker).read())
     if not isinstance(rec, dict):
         raise RuntimeError(
-            f"edge-latest state marker at {marker} uses the legacy plain-int"
-            " format; rebuild the state (see stream_upsert_edge_latest)."
+            f"state marker at {marker} uses the legacy plain-int format; "
+            "rebuild the state (see stream_upsert_edge_latest)."
         )
-    return spark.read.parquet(os.path.join(state_dir, f"state_v{rec['batch_id']}"))
+    return spark.read.parquet(
+        os.path.join(state_dir, f"{prefix}{rec['batch_id']}")
+    )
+
+
+def read_edge_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current compacted edge state (None before the first applied batch).
+    Columns: subj_id, pred, obj_id, n, last(ts, url)."""
+    return _read_versioned_state(spark, state_dir, "state_v")
 
 
 def stream_upsert_edge_latest(
@@ -345,16 +355,29 @@ def stream_upsert_edge_latest(
 def read_degree_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Current incrementally-maintained (day, node, degree) table (None
     before the first applied batch)."""
-    import json
-    import os
+    return _read_versioned_state(spark, state_dir, "degree_v")
 
-    marker = os.path.join(state_dir, "_LATEST")
-    if not os.path.exists(marker):
-        return None
-    rec = json.loads(open(marker).read())
-    return spark.read.parquet(
-        os.path.join(state_dir, f"degree_v{rec['batch_id']}")
-    )
+
+def _advance_distinct_edges(
+    spark: SparkSession,
+    state_dir: str,
+    prefix: str,
+    batch_edges: DataFrame,
+    key_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Shared cumulative-distinct-edge-set step for the incremental
+    streams: anti-join the batch's distinct keys against the standing set
+    (``<prefix><id>`` under the ``_LATEST`` marker), localCheckpoint the
+    delta (it feeds several joins), and return (cur_edges, new_edges,
+    all_edges) — cur_edges is None on the first batch. The caller writes
+    ``all_edges`` to ``<prefix><batch_id>`` and flips the marker LAST —
+    this helper never touches the marker."""
+    cur = _read_versioned_state(spark, state_dir, prefix)
+    if cur is None:
+        new = batch_edges.localCheckpoint()
+        return None, new, new
+    new = batch_edges.join(cur, key_cols, "left_anti").localCheckpoint()
+    return cur, new, cur.unionAll(new)
 
 
 def stream_degree_over_time(
@@ -405,8 +428,6 @@ def stream_degree_over_time(
     ckpt_identity = _checkpoint_identity(checkpoint_dir)
 
     def process_batch(batch_df, batch_id: int):
-        import json
-
         sess = batch_df.sparkSession
         marker = os.path.join(state_dir, "_LATEST")
         last_applied = _marker_last_applied(
@@ -420,17 +441,9 @@ def stream_degree_over_time(
         batch_edges = edges.select(
             "day", F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
         ).distinct()
-        cur_edges = None
-        if os.path.exists(marker):
-            rec = json.loads(open(marker).read())
-            cur_edges = sess.read.parquet(
-                os.path.join(state_dir, f"edges_v{rec['batch_id']}")
-            )
-        new_edges = (
-            batch_edges.join(cur_edges, ["day", "src", "dst"], "left_anti")
-            if cur_edges is not None
-            else batch_edges
-        ).localCheckpoint()
+        _cur, new_edges, all_edges = _advance_distinct_edges(
+            sess, state_dir, "edges_v", batch_edges, ["day", "src", "dst"]
+        )
         new_deg = (
             new_edges.select("day", F.col("src").alias("node"))
             .unionAll(new_edges.select("day", F.col("dst").alias("node")))
@@ -455,9 +468,6 @@ def stream_degree_over_time(
             )
         else:
             merged = new_deg
-        all_edges = (
-            cur_edges.unionAll(new_edges) if cur_edges is not None else new_edges
-        )
         all_edges.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"edges_v{batch_id}")
         )
@@ -512,16 +522,7 @@ def stream_windowed_doc_counts(
 def read_bgp_view_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Current incrementally-maintained BGP binding view (None before the
     first applied batch). One string column per pattern variable."""
-    import json
-    import os
-
-    marker = os.path.join(state_dir, "_LATEST")
-    if not os.path.exists(marker):
-        return None
-    rec = json.loads(open(marker).read())
-    return spark.read.parquet(
-        os.path.join(state_dir, f"view_v{rec['batch_id']}")
-    )
+    return _read_versioned_state(spark, state_dir, "view_v")
 
 
 def stream_bgp_view(
@@ -565,7 +566,7 @@ def stream_bgp_view(
     """
     import os
 
-    from kgforge.graph.bgp import _check_patterns, _compile_pattern
+    from kgforge.graph.bgp import _check_patterns, _compile_pattern, _is_var
     from kgforge.stages.canonicalize import rewrite_triples
     from kgforge.stages.docstream import extract_docstream
 
@@ -575,11 +576,22 @@ def stream_bgp_view(
             f"{len(patterns)} patterns (compose wider views downstream, "
             "or run match_bgp as a batch query)"
         )
-    _check_patterns(patterns, require_anchor=True, per_pattern_anchor=True)
-    probe_vars = []
-    for ix, p in enumerate(patterns):
-        vs = {t[1:] for t in p if t.startswith("?") and len(t) > 1}
-        probe_vars.append(vs)
+    # reserved-name guard shared with match_bgp; the anchor check is done
+    # here (not via _check_patterns' per-pattern mode) so the error names
+    # THIS function's contract instead of telling the user to pass a
+    # require_anchor escape stream_bgp_view does not accept
+    _check_patterns(patterns, require_anchor=False, per_pattern_anchor=True)
+    for p in patterns:
+        if all(_is_var(t) for t in p):
+            raise ValueError(
+                f"unanchored pattern {p} scans the full edge table on "
+                "every batch; anchor it with a constant (stream_bgp_view "
+                "maintains delta-proportional work and offers no "
+                "full-scan escape — run match_bgp as a batch query)"
+            )
+    # variable sets via the same _is_var the compiler uses, so the guard
+    # and _compile_pattern can never disagree on what counts as a variable
+    probe_vars = [{t[1:] for t in p if _is_var(t)} for p in patterns]
     shared = sorted(probe_vars[0] & probe_vars[1])
     if not shared:
         raise ValueError(
@@ -606,8 +618,6 @@ def stream_bgp_view(
         return l.join(r, on=shared, how="inner")
 
     def process_batch(batch_df, batch_id: int):
-        import json
-
         sess = batch_df.sparkSession
         marker = os.path.join(state_dir, "_LATEST")
         last_applied = _marker_last_applied(
@@ -622,21 +632,9 @@ def stream_bgp_view(
             .select("subj_id", "pred", "obj_id")
             .distinct()
         )
-        cur_edges = None
-        if os.path.exists(marker):
-            rec = json.loads(open(marker).read())
-            cur_edges = sess.read.parquet(
-                os.path.join(state_dir, f"bgp_edges_v{rec['batch_id']}")
-            )
-        new_edges = (
-            batch_edges.join(
-                cur_edges, ["subj_id", "pred", "obj_id"], "left_anti"
-            )
-            if cur_edges is not None
-            else batch_edges
-        ).localCheckpoint()
-        all_edges = (
-            cur_edges.unionAll(new_edges) if cur_edges is not None else new_edges
+        cur_edges, new_edges, all_edges = _advance_distinct_edges(
+            sess, state_dir, "bgp_edges_v", batch_edges,
+            ["subj_id", "pred", "obj_id"],
         )
         delta = _match_pair(new_edges, all_edges)
         if cur_edges is not None:

@@ -111,6 +111,27 @@ def test_guards(spark):
         reachable_from(df, "a", [], max_hops=3)
 
 
+def test_literal_caret_predicate_escape(spark):
+    # a data-derived predicate literally named "^owns" is queryable
+    # FORWARD via the backslash escape; unescaped "^owns" inverts the
+    # plain "owns" predicate instead
+    edges = EDGES + [("a", "^owns", "k"), ("k", "^owns", "m")]
+    df = spark.createDataFrame(
+        edges, "subj_id string, pred string, obj_id string"
+    )
+    got = {
+        (r["node"], r["hops"])
+        for r in reachable_from(df, "a", ["\\^owns"], max_hops=8).collect()
+    }
+    assert got == {("k", 1), ("m", 2)}
+    # unescaped: inverse of "owns" from a → d (d owns a), c, b, a-cycle
+    inv = {
+        r["node"]
+        for r in reachable_from(df, "a", ["^owns"], max_hops=8).collect()
+    }
+    assert inv == {"d", "c", "b", "a"}
+
+
 def test_inverse_equals_forward_on_reversed_graph(spark):
     # ^pred from n equals pred from n on the edge-reversed graph
     rev = [(o, p, s) for s, p, o in EDGES]
