@@ -136,3 +136,45 @@ def test_two_hop_sketch_plan_uses_hll_no_cartesian(spark):
     assert "hll" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wcoj_cycle_single_exchange_no_cartesian(spark, tmp_path):
+    """The HyperCube plan's only exchange is the groupBy on the 3 cell
+    coordinates feeding the Arrow generic-join stage — no joins at all
+    in the plan (the join happens cell-locally in pandas), so no wedge
+    set is ever shuffled. Edges read from parquet so the gate sees the
+    serving plan, not the upstream extraction lineage."""
+    from kgforge.graph.wcoj import match_bgp_cycle
+
+    path = str(tmp_path / "edges_wcoj_pq")
+    _kg_edges(spark).select("subj_id", "pred", "obj_id").write.parquet(path)
+    plan = _plan(
+        match_bgp_cycle(
+            spark.read.parquet(path),
+            [
+                ("?a", "works at", "?b"),
+                ("?b", "acquired", "?c"),
+                ("?c", "works at", "?a"),
+            ],
+            shares=2,
+        )
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
+def test_not_exists_plan_is_keyed_anti_join(spark):
+    from kgforge.graph.bgp import match_bgp_not_exists
+
+    plan = _plan(
+        match_bgp_not_exists(
+            _kg_edges(spark),
+            [("?x", "works at", "?y")],
+            [("?z", "acquired", "?y")],
+        )
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
