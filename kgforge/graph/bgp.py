@@ -45,7 +45,9 @@ def _compile_pattern(
     """One triple pattern → (projection keyed by its variables, var set).
     Constants filter (pushed to the scan); variables rename; a repeated
     variable inside one pattern ("?x knows ?x") becomes an equality
-    filter before the rename."""
+    filter before the rename. A list/tuple/set term is a SPARQL
+    ALTERNATION — the term matches ANY of its constants (an In filter,
+    equally pushable); it still anchors the pattern."""
     df = edges
     var_for_col: dict[str, str] = {}
     for col, term in zip(_COLS, pattern):
@@ -55,6 +57,19 @@ def _compile_pattern(
                 df = df.where(F.col(col) == F.col(first))
             else:
                 var_for_col[col] = term
+        elif isinstance(term, (list, tuple, set, frozenset)):
+            alts = sorted(term)
+            if not alts:
+                raise ValueError(
+                    f"empty alternation in pattern {pattern} — a term "
+                    "matching nothing makes the whole BGP empty"
+                )
+            if any(_is_var(a) for a in alts):
+                raise ValueError(
+                    f"alternation {alts} mixes variables with constants — "
+                    "alternation terms must all be constants"
+                )
+            df = df.where(F.col(col).isin(alts))
         else:
             df = df.where(F.col(col) == F.lit(term))
     if not var_for_col:

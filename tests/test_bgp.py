@@ -24,14 +24,18 @@ EDGES = [
 def oracle_bgp(edges, patterns):
     """Brute force: try every assignment of edges to patterns, collect
     consistent variable bindings (the SPARQL BGP semantics, exponential
-    and fine at 9 edges)."""
+    and fine at 9 edges). A tuple term is an alternation (membership)."""
     out = set()
     for combo in itertools.product(edges, repeat=len(patterns)):
         bind = {}
         ok = True
         for (s, p, o), pat in zip(combo, patterns):
             for val, term in zip((s, p, o), pat):
-                if term.startswith("?"):
+                if isinstance(term, (list, tuple, set)):
+                    if val not in term:
+                        ok = False
+                        break
+                elif term.startswith("?"):
                     if bind.setdefault(term[1:], val) != val:
                         ok = False
                         break
@@ -382,3 +386,47 @@ def test_not_exists_sanity_and_guards(spark):
         match_bgp_not_exists(
             df, [("?x", "works at", "?y")], [("?x", "?p", "?v")]
         )
+
+
+def test_predicate_alternation(spark):
+    """A tuple term is SPARQL alternation (p1|p2): matches any of its
+    constants, still anchors the pattern, pushes as an In filter."""
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    pats = [("?x", ("works at", "acquired"), "?y")]
+    got, res = spark_bgp(spark, pats)
+    assert got == oracle_bgp(EDGES, pats) and got
+    # alternation in the OBJECT position (entity sets work too)
+    pats2 = [("?x", "located in", ("oslo", "lyon"))]
+    got2, _ = spark_bgp(spark, pats2)
+    assert got2 == oracle_bgp(EDGES, pats2)
+    assert {dict(s)["x"] for s in got2} == {"acme", "nova"}
+    # alternation composes with a join
+    pats3 = [("?x", ("works at", "knows"), "?y"),
+             ("?y", "located in", "oslo")]
+    got3, _ = spark_bgp(spark, pats3)
+    assert got3 == oracle_bgp(EDGES, pats3) and got3
+    # an alternation term ANCHORS: this would raise unanchored with a
+    # variable predicate, but the constant set bounds the scan
+    pats4 = [("?x", ("knows",), "?y")]
+    got4, _ = spark_bgp(spark, pats4)
+    assert got4 == oracle_bgp(EDGES, pats4)
+    import pytest
+
+    with pytest.raises(ValueError, match="empty alternation"):
+        spark_bgp(spark, [("?x", (), "?y")])
+    with pytest.raises(ValueError, match="mixes variables"):
+        spark_bgp(spark, [("?x", ("knows", "?p"), "?y")])
+
+
+def test_alternation_in_wcoj_cycle(spark):
+    from kgforge.graph.wcoj import match_bgp_cycle
+
+    df = spark.createDataFrame(EDGES, "subj_id string, pred string, obj_id string")
+    # knows-loop via alternation: the cycle matcher compiles the same
+    # pattern terms, so alternation works there too
+    pats = [("?a", ("knows", "works at"), "?b"),
+            ("?b", ("knows", "works at"), "?c"),
+            ("?c", ("knows", "works at"), "?a")]
+    got = match_bgp_cycle(df, pats, shares=2)
+    rows = set(tuple(sorted(zip(got.columns, r))) for r in got.collect())
+    assert rows == oracle_bgp(EDGES, pats) and rows
