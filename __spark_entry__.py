@@ -490,10 +490,18 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``?a works at ?b . ?b acquired ?c . ?c works at ?a``.
     * ``optional`` — graph.bgp.match_bgp_optional (SPARQL OPTIONAL left
       join): ``?a acquired ?b OPTIONAL ?b located in ?c``.
+    * ``not_exists`` — graph.bgp.match_bgp_not_exists (FILTER NOT
+      EXISTS anti-join): acquisitions whose target has NO location edge.
+    * ``alt`` — inline alternation: ``?a (works at|founded) ?b`` as one
+      In-filtered pattern term.
 
     Oracle: expected twin (_bgp_family — brute-force dict/set evaluation,
     independent of both planners)."""
-    from kgforge.graph.bgp import match_bgp, match_bgp_optional
+    from kgforge.graph.bgp import (
+        match_bgp,
+        match_bgp_not_exists,
+        match_bgp_optional,
+    )
     from kgforge.graph.wcoj import match_bgp_cycle
 
     # localCheckpoint: the three shapes compile ~7 separate scans of this
@@ -521,6 +529,14 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("?a", "acquired", "?b")],
             [("?b", "located in", "?c")],
         ),
+        "not_exists": match_bgp_not_exists(
+            edges,
+            [("?a", "acquired", "?b")],
+            [("?b", "located in", "?c")],
+        ).withColumn("c", F.lit(None).cast("string")),
+        "alt": match_bgp(
+            edges, [("?a", ("works at", "founded"), "?b")]
+        ).withColumn("c", F.lit(None).cast("string")),
     }
     parts = [
         df.orderBy(F.asc_nulls_first("a"), F.asc_nulls_first("b"), F.asc_nulls_first("c"))
