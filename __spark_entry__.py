@@ -494,6 +494,9 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXISTS anti-join): acquisitions whose target has NO location edge.
     * ``alt`` — inline alternation: ``?a (works at|founded) ?b`` as one
       In-filtered pattern term.
+    * ``path`` — graph.paths.reachable_from (SPARQL ``pred+``): the
+      3-hop any-predicate forward cone from a deterministic anchor (the
+      lexically-smallest subject), rows (node, shortest-hops).
 
     Oracle: expected twin (_bgp_family — brute-force dict/set evaluation,
     independent of both planners)."""
@@ -538,6 +541,15 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges, [("?a", ("works at", "founded"), "?b")]
         ).withColumn("c", F.lit(None).cast("string")),
     }
+    from kgforge.graph.paths import reachable_from
+
+    # one driver-side scalar (the anchor), not a data collect
+    anchor = edges.agg(F.min("subj_id")).collect()[0][0]
+    shapes["path"] = reachable_from(edges, anchor, None, max_hops=3).select(
+        F.col("node").alias("a"),
+        F.col("hops").cast("string").alias("b"),
+        F.lit(None).cast("string").alias("c"),
+    )
     parts = [
         df.orderBy(F.asc_nulls_first("a"), F.asc_nulls_first("b"), F.asc_nulls_first("c"))
         .limit(200)
