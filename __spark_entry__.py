@@ -478,7 +478,7 @@ def _kg_sameas_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style BGP serving layer as one tagged family query (the
-    round-5 ann_suite/dedup_stats pattern): three shapes over the
+    round-5 ann_suite/dedup_stats pattern): six shapes over the
     canonical edge table, each capped to the first 200 bindings under the
     total order (a, b, c) — bindings are unique triples, so the cut is
     deterministic.
@@ -507,9 +507,10 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kgforge.graph.wcoj import match_bgp_cycle
 
-    # localCheckpoint: the three shapes compile ~7 separate scans of this
-    # relation — without the cut, each scan replays the full extraction
-    # lineage (docstream + rewrite). Pay extraction once, like bench.py.
+    # localCheckpoint: the six shapes compile a dozen separate scans of
+    # this relation — without the cut, each scan replays the full
+    # extraction lineage (docstream + rewrite). Pay extraction once,
+    # like bench.py.
     edges = (
         _kg_day_edges(spark, sf_dir)
         .select("subj_id", "pred", "obj_id")
@@ -543,13 +544,18 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     from kgforge.graph.paths import reachable_from
 
-    # one driver-side scalar (the anchor), not a data collect
+    # one driver-side scalar (the anchor), not a data collect; an empty
+    # edge table (anchor None) yields an empty path shape, matching the
+    # twin's empty-adjacency branch
     anchor = edges.agg(F.min("subj_id")).collect()[0][0]
-    shapes["path"] = reachable_from(edges, anchor, None, max_hops=3).select(
-        F.col("node").alias("a"),
-        F.col("hops").cast("string").alias("b"),
-        F.lit(None).cast("string").alias("c"),
-    )
+    if anchor is not None:
+        shapes["path"] = reachable_from(
+            edges, anchor, None, max_hops=3
+        ).select(
+            F.col("node").alias("a"),
+            F.col("hops").cast("string").alias("b"),
+            F.lit(None).cast("string").alias("c"),
+        )
     parts = [
         df.orderBy(F.asc_nulls_first("a"), F.asc_nulls_first("b"), F.asc_nulls_first("c"))
         .limit(200)

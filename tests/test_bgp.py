@@ -410,8 +410,6 @@ def test_predicate_alternation(spark):
     pats4 = [("?x", ("knows",), "?y")]
     got4, _ = spark_bgp(spark, pats4)
     assert got4 == oracle_bgp(EDGES, pats4)
-    import pytest
-
     with pytest.raises(ValueError, match="empty alternation"):
         spark_bgp(spark, [("?x", (), "?y")])
     with pytest.raises(ValueError, match="mixes variables"):
