@@ -183,14 +183,24 @@ def two_hop_reach_approx(
     subtracted from its own reach (a ≤1 absolute difference).
     Columns: node, reach_est (double).
     """
+    # the distinct edge set feeds FOUR plan branches (the degree pre-pass,
+    # both hot/cold splits, and the sketch build) and Catalyst does NOT
+    # reuse the distinct subtree across them (round-6 plan audit: 3 separate
+    # scan+distinct pipelines in the before-plan) — materialize it once,
+    # exactly the triangle_counts `oriented` discipline. Size is |E|, the
+    # same bounded footprint the hop join itself moves.
     e = (
         edges_df.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint()
     )
+    # the sketch table feeds up to three branches (hot filter, cold join,
+    # seed contribution union) — materialize once; one fixed-size sketch
+    # row per distinct src, bounded by |V|.
     nbr_sk = e.groupBy(F.col("src").alias("node")).agg(
         F.hll_sketch_agg("dst", F.lit(lg_k)).alias("sk")
-    )
+    ).localCheckpoint()
     # hop join with a hot/cold dst split (round-5 skew bench): the join
     # shuffles edges BY DST, so a crawl hub's entire in-neighborhood lands
     # in one task (measured 7.3× the median partition at a 50%-hot fixture)
@@ -261,6 +271,14 @@ def triangle_counts(edges_df: DataFrame, k: int = 20) -> DataFrame:
     enumerated only at their lowest-key vertex and closed with one join
     against the oriented edge set.
     """
+    # NOTE (round-6): the undirected set feeds 3 plan branches here, but
+    # checkpointing it (and deg) measured SLOWER and more erratic than the
+    # recompute (A/B same-session: old 3.9-6.5s, checkpointed 6.3-13.6s at
+    # bench scale) — the three branches overlap inside one job and keep
+    # the cores busy, while eager checkpoints serialize the DAG into
+    # sequential jobs + block-store writes. Deliberately left lazy; only
+    # `oriented` (below), which gates three DOWNSTREAM branches after a
+    # multi-join pipeline, is materialized.
     und = _undirected(edges_df)
     deg = (
         und.select(F.col("u").alias("node"))
@@ -319,17 +337,27 @@ def label_propagation_labels(
     min). Returns the FULL (node, label) assignment — the materialization
     shape (pipeline's ``communities`` stage); ``label_propagation`` below
     presents community sizes."""
-    und = _undirected(edges_df)
     # pre-partition the (static) neighbor table by the per-round join key
     # and materialize: localCheckpoint preserves the partitioning, so each
     # of the ``iterations`` joins reuses it instead of re-shuffling the big
-    # side every round (only the small per-round label table moves)
-    nbrs = (
-        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .repartition("nbr")
-        .localCheckpoint()
+    # side every round (only the small per-round label table moves).
+    # Built in ONE exchange (round-6): mirror the raw directed pairs both
+    # ways FIRST, repartition by the join key, and dedup with
+    # dropDuplicates — hash partitioning on ``nbr`` already clusters every
+    # (node, nbr) duplicate, so the dedup aggregate runs in place instead
+    # of adding the second (distinct-then-repartition) shuffle.
+    sym = (
+        edges_df.select(
+            F.col("subj_id").alias("node"), F.col("obj_id").alias("nbr")
+        )
+        .unionAll(
+            edges_df.select(
+                F.col("obj_id").alias("node"), F.col("subj_id").alias("nbr")
+            )
+        )
+        .where(F.col("node") != F.col("nbr"))
     )
+    nbrs = sym.repartition("nbr").dropDuplicates().localCheckpoint()
     labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
     prev_sig = None
     stop_next = False
@@ -340,18 +368,17 @@ def label_propagation_labels(
             ),
             "nbr",
         ).select("node", "nbr_label")
-        votes = nbr_labels.groupBy("node", "nbr_label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        # max count, tie → min label: lexicographic MIN of (-cnt, label)
-        labels = (
-            votes.groupBy("node")
-            .agg(
-                F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("nbr_label"))).alias(
-                    "best"
-                )
-            )
-            .select("node", F.col("best.nbr_label").alias("label"))
+        # max count, tie → min label — exactly deterministic MODE.
+        # ``mode(col, deterministic=true)`` ("if multiple values have the
+        # same greatest frequency, return the smallest") replaces the
+        # round-5 two-aggregation form (count per (node, label), then
+        # min of (-cnt, label)) with ONE exchange per round instead of
+        # two: Mode is a TypedImperativeAggregate with a map-side partial
+        # buffer, so per-partition label counts combine before the
+        # shuffle (round-6; equivalence pinned by the kg_communities
+        # oracle and tests/test_graph_analytics.py).
+        labels = nbr_labels.groupBy("node").agg(
+            F.mode("nbr_label", True).alias("label")
         )
         if stop_next:
             # parity escape (see below): one extra round re-aligned the

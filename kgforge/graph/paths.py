@@ -108,7 +108,11 @@ def reachable_from(
     # join column, lineage cut so hop N's plan does not replay the scan.
     # Self-loops stay — SPARQL pred+ reaches a self-looping node from
     # itself in one hop; the seen-set anti-join keeps them terminating.
-    rel = rel.distinct().repartition("subj_id").localCheckpoint()
+    # repartition-then-dropDuplicates builds it in ONE exchange: hash
+    # partitioning on subj_id already clusters every (subj_id, obj_id)
+    # duplicate, so the dedup aggregate runs in place (round-6; the
+    # distinct-then-repartition order paid a second full shuffle).
+    rel = rel.repartition("subj_id").dropDuplicates().localCheckpoint()
     frontier = (
         rel.where(F.col("subj_id") == F.lit(source))
         .select(F.col("obj_id").alias("node"), F.lit(1).alias("hops"))
@@ -118,10 +122,17 @@ def reachable_from(
     for hop in range(2, max_hops + 1):
         if frontier.isEmpty():
             break
+        # dropDuplicates(["node"]) instead of distinct(): hops is constant
+        # within a round, so per-node dedup is equivalent — but it dedups
+        # map-side BEFORE the exchange (partial agg over the hub fan-out)
+        # and its (node)-hash output partitioning is exactly what the
+        # seen-set anti-join needs, so the round runs ONE exchange of hop
+        # output instead of two (round-6; distinct() keyed (node, hops)
+        # and forced the anti-join to re-shuffle).
         frontier = (
             frontier.join(rel, frontier["node"] == rel["subj_id"])
             .select(F.col("obj_id").alias("node"), F.lit(hop).alias("hops"))
-            .distinct()
+            .dropDuplicates(["node"])
             .join(seen.select("node"), "node", "left_anti")
             .localCheckpoint()
         )

@@ -602,6 +602,13 @@ def _shingles(docs: DataFrame, cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFram
     )
     if cap is None:
         return sh
+    # the shingle stream feeds BOTH the hot-shingle DF aggregation and the
+    # anti-join's probe side — without a cut the CPU-heavy shingling
+    # (split + 3-gram transform + array_distinct + explode) runs twice
+    # (round-6 measurement: ~half the sh-build cost). |rows| = total
+    # distinct shingle occurrences, the table every consumer materializes
+    # anyway.
+    sh = sh.localCheckpoint()
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -645,12 +652,25 @@ def ngram_jaccard_verified_pairs(docs: DataFrame) -> DataFrame:
     37.9s to the prefix-filtered time in BENCH.md). ceil(0.6·sz) is
     computed in integer arithmetic ((3·sz + 4) div 5) so both engines
     agree exactly."""
-    # the shingle table feeds FIVE plan branches (sizes, df, prefix, and
-    # both sides of the intersection join); materialize it once instead of
-    # re-running the scan + shingling pipeline per branch (round-4 bench:
-    # the unbounded sf0.1 phase dropped ~40% from this + the length filter)
+    # the shingle table feeds FOUR plan branches (doc_sets, df, prefix);
+    # materialize it once instead of re-running the scan + shingling
+    # pipeline per branch (round-4 bench: the unbounded sf0.1 phase
+    # dropped ~40% from this + the length filter)
     sh = _shingles(docs).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc shingle set as ONE array row (per-doc bounded: docs are
+    # KB-sized so the array is too). Feeds the size lookups AND the exact
+    # intersection verify, which becomes an in-row array_intersect over
+    # the two candidate docs' sets instead of re-exploding them through a
+    # (pair ⋈ shingle) join — round-6: the exploded intersection join
+    # fanned 193k length-filtered candidates out to ~73M (pair, shingle)
+    # rows at sf0.1 before aggregating them straight back down.
+    doc_sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shs"))
+        .withColumn("sz", F.size("shs"))
+        .localCheckpoint()
+    )
+    sizes = doc_sets.select("doc_id", "sz")
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         sh.join(df, "shingle")
@@ -689,24 +709,23 @@ def ngram_jaccard_verified_pairs(docs: DataFrame) -> DataFrame:
             F.least("sz1", "sz2") * F.lit(5)
             >= F.greatest("sz1", "sz2") * F.lit(3)
         )
-        .select("d1", "d2")
     )
-    sa = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        cand.join(sa, "d1")
-        .join(sb, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # exact verify: attach each side's full shingle set (one array row per
+    # doc) and intersect IN-ROW. Two keyed joins of |cand| rows replace
+    # the exploded (pair ⋈ shingle) join + re-aggregation + two size
+    # re-joins; a pair with an empty intersection simply scores 0 and is
+    # dropped by the same threshold the grouped form enforced by absence.
+    s1 = doc_sets.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
+    s2 = doc_sets.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
+    inter = F.size(F.array_intersect("shs1", "shs2"))
     jac = (
-        inter.join(za, "d1")
-        .join(zb, "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1",
             "d2",
             F.round(
-                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
+                inter / (F.col("sz1") + F.col("sz2") - inter), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.6)
@@ -921,36 +940,70 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_weights(seed_prefix: str | None, n_planes: int, dim: int) -> list[list[float]]:
+    """Driver-side twin of the SQL hyperplane-sign expression
+    ``CASE WHEN conv(substr(md5(concat_ws(',', [seed,] plane, d)), 1, 1),
+    16, 10) % 2 = 1 THEN 1.0 ELSE -1.0 END`` — hashlib.md5 over the same
+    ``[seed,]plane,d`` key string, so the weights are bit-identical to the
+    ones both engines previously derived per row. Building the constant
+    n_planes×dim matrix once on the driver lets every projection be an
+    IN-ROW zip_with/aggregate over a literal array instead of a
+    posexplode (64× row blow-up) + broadcast join + two grouped
+    aggregations (round-6, guide §2.4: removes both exchanges from the
+    signature stage)."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            key = f"{seed_prefix},{p},{d}" if seed_prefix else f"{p},{d}"
+            h = hashlib.md5(key.encode("utf-8")).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def _plane_dots(spark: SparkSession, emb: DataFrame, weights: list[list[float]]):
+    """Attach an in-row ``dots`` array column: dots[p] = Σ_d emb[d]·w[p][d]
+    (index order — the deterministic counterpart of the grouped sum it
+    replaces). The plane matrix travels as ONE broadcast row, NOT as
+    inline literals: a 32×64 literal matrix put ~2k literal nodes in the
+    expression tree and cost ~1.6 s of driver-side analysis/codegen per
+    query — more than the whole exploded plan it replaced (round-6 A/B).
+    Returns (vec_id, embedding, dots)."""
+    wdf = spark.createDataFrame([(weights,)], "W: array<array<double>>")
+    dots = F.transform(
+        F.col("W"),
+        lambda wr: F.aggregate(
+            F.zip_with(F.col("embedding"), wr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return emb.crossJoin(F.broadcast(wdf)).select(
+        "vec_id", "embedding", dots.alias("dots")
+    )
+
+
 def q_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for ANN: random-hyperplane LSH buckets (sign of dot with
     md5-seeded ±1 planes over the FULL embedding dimensionality) shrink the
     candidate set; report bucket sizes. The plane signs derive from
-    md5(plane,dim) so the oracle matches bit-for-bit."""
-    emb = _t(spark, sf_dir, "embeddings")
-    dims = spark.range(0, 8).select(F.col("id").cast("int").alias("plane"))
-    planes = dims.crossJoin(
-        spark.range(0, EMBEDDING_DIM).select(F.col("id").cast("int").alias("d"))
-    ).select(
-        "plane",
-        "d",
-        F.expr(
-            "CASE WHEN CAST(conv(substr(md5(concat_ws(',', plane, d)), 1, 1),"
-            " 16, 10) AS INT) % 2 = 1 THEN 1.0D ELSE -1.0D END"
-        ).alias("w"),
+    md5(plane,dim) so the oracle matches bit-for-bit; the signature is
+    computed IN-ROW against the literal 8×64 plane matrix (see
+    _plane_weights) — one narrow projection, no explode and no shuffle
+    before the final bucket histogram."""
+    # widen the narrow scan: the in-row projection is the CPU-heavy part
+    # now, and a small embeddings table arrives as one split (same
+    # conditional as _shingles — never adds a shuffle at scale)
+    emb = _widen_narrow_scan(_t(spark, sf_dir, "embeddings"))
+    ws = _plane_weights(None, 8, EMBEDDING_DIM)
+    bucket = F.expr(
+        "aggregate(sequence(0, 7), 0L, (acc, p) -> acc +"
+        " IF(element_at(dots, p + 1) > 0, shiftleft(1L, p), 0L))"
     )
-    comp = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    )
-    dots = (
-        comp.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    sig = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.expr("CASE WHEN dot > 0 THEN shiftleft(1L, plane) ELSE 0L END")
-        ).alias("bucket")
-    )
+    sig = _plane_dots(spark, emb, ws).select("vec_id", bucket.alias("bucket"))
     return (
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1107,33 +1160,35 @@ def embedding_near_dup_pairs(
     embedding) → verified pairs (id1, id2, cos ≥ threshold)."""
     spark = emb.sparkSession
     n_planes = NEAR_DUP_BANDS * NEAR_DUP_PLANES
-    planes = (
-        spark.range(0, n_planes)
-        .select(F.col("id").cast("int").alias("plane"))
-        .crossJoin(spark.range(0, dim).select(F.col("id").cast("int").alias("d")))
-        .select(
-            "plane",
-            "d",
+    # 32×64 ±1 plane matrix (md5-derived, bit-identical to the previous
+    # per-row SQL derivation — _plane_weights docstring), shipped as one
+    # broadcast row: all 32 signed projections happen IN-ROW and the 4
+    # per-band bucket ids explode from one array of structs — no
+    # posexplode over dimensions, no plane join, no (vec_id, plane)
+    # aggregation shuffle.
+    ws = _plane_weights("nd", n_planes, dim)
+    band_structs = [
+        F.struct(
+            F.lit(band).cast("int").alias("band"),
             F.expr(
-                "CASE WHEN CAST(conv(substr(md5(concat_ws(',', 'nd', plane, d)),"
-                " 1, 1), 16, 10) AS INT) % 2 = 1 THEN 1.0D ELSE -1.0D END"
-            ).alias("w"),
+                f"aggregate(sequence(0, {NEAR_DUP_PLANES - 1}), 0L, (acc, o) ->"
+                f" acc + IF(element_at(dots, {band * NEAR_DUP_PLANES} + o + 1)"
+                " > 0, shiftleft(1L, o), 0L))"
+            ).alias("bucket"),
         )
-    )
-    comp = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
-    dots = (
-        comp.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    sig = (
-        dots.groupBy("vec_id", F.expr("plane div 8").alias("band"))
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN dot > 0 THEN shiftleft(1L, plane % 8) ELSE 0L END")
-            ).alias("bucket")
-        )
-    )
+        for band in range(NEAR_DUP_BANDS)
+    ]
+    # materialize the signature table (4 small rows per vector): it feeds
+    # THREE plan branches (the bucket-size guard and both sides of the
+    # candidate self-join) — without the cut each branch re-evaluates the
+    # 32 projections, and the join sides lose the small-size stats AQE
+    # needs to pick broadcast. The scan is widened first (the 2,000-row
+    # fixture arrives as ONE split; no-op at scale).
+    sig = _plane_dots(spark, _widen_narrow_scan(emb), ws).select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).localCheckpoint()
     ok_buckets = (
         sig.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("k"))
