@@ -40,14 +40,16 @@ def _is_var(term: str) -> bool:
 
 
 def _compile_pattern(
-    edges: DataFrame, pattern: tuple[str, str, str], ix: int
+    edges: DataFrame, pattern: tuple[str, str, str], ix: int, dedup: bool = True
 ) -> tuple[DataFrame, set[str]]:
     """One triple pattern → (projection keyed by its variables, var set).
     Constants filter (pushed to the scan); variables rename; a repeated
     variable inside one pattern ("?x knows ?x") becomes an equality
     filter before the rename. A list/tuple/set term is a SPARQL
     ALTERNATION — the term matches ANY of its constants (an In filter,
-    equally pushable); it still anchors the pattern."""
+    equally pushable); it still anchors the pattern. ``dedup=False``
+    skips the distinct projection for callers that dedup downstream
+    themselves (the WCOJ cell join — round-6)."""
     df = edges
     var_for_col: dict[str, str] = {}
     for col, term in zip(_COLS, pattern):
@@ -76,7 +78,10 @@ def _compile_pattern(
         # fully-ground pattern: an existence test — keep one marker row
         return df.select(F.lit(1).alias(f"__exists_{ix}")).limit(1), set()
     sel = [F.col(c).alias(v[1:]) for c, v in var_for_col.items()]
-    return df.select(*sel).dropDuplicates(), set(v[1:] for v in var_for_col.values())
+    out = df.select(*sel)
+    if dedup:
+        out = out.dropDuplicates()
+    return out, set(v[1:] for v in var_for_col.values())
 
 
 def _check_patterns(

@@ -57,6 +57,11 @@ def reachable_from(
     SHORTEST distance — each node appears exactly once, the source
     itself only if a cycle returns to it (SPARQL ``pred+`` semantics;
     use ``min_hops=0`` for ``pred*``, which adds the source at hop 0).
+    NOTE: ``min_hops > 1`` filters on the SHORTEST distance — a node
+    first reached at hop 1 is excluded even if a separate longer path of
+    in-window length also reaches it (i.e. this is "shortest distance in
+    [min_hops, max_hops]", not conventional ``pred{m,k}`` path-existence
+    semantics; round-5 ADVICE, documented deliberately).
 
     >>> reachable_from(edges, "E000001", "acquired", max_hops=3)
     DataFrame[node: string, hops: int]

@@ -114,9 +114,14 @@ def _cell_triangle_closer(vars_sorted: list[str], chunk_rows: int):
         # keys, but pandas merge on object dtype CAN pair None with None —
         # drop null bindings up front so both plans agree on edge tables
         # that carry NULL subj/obj values.
-        r01 = pdf[pdf["__rel"] == 0][[v0, v1]].dropna()
-        r12 = pdf[pdf["__rel"] == 1][[v1, v2]].dropna()
-        r02 = pdf[pdf["__rel"] == 2][[v0, v2]].dropna()
+        # in-cell dedup (round-6): the compiled patterns arrive WITHOUT
+        # the per-pattern distinct projection — three pre-cube exchanges
+        # removed at the cost of replicating duplicate rows into their
+        # (identical) cells, where one hash dedup per relation restores
+        # the set semantics the chunked closer relies on.
+        r01 = pdf[pdf["__rel"] == 0][[v0, v1]].dropna().drop_duplicates()
+        r12 = pdf[pdf["__rel"] == 1][[v1, v2]].dropna().drop_duplicates()
+        r02 = pdf[pdf["__rel"] == 2][[v0, v2]].dropna().drop_duplicates()
         empty = pd.DataFrame({v0: [], v1: [], v2: []}, dtype=object)
         if len(r01) == 0 or len(r12) == 0 or len(r02) == 0:
             return empty
@@ -199,7 +204,9 @@ def match_bgp_cycle(
     tagged = []
     for pat_ix, (pat, ax) in enumerate(zip(patterns, axes)):
         rel_ix = rel_of_pair[ax]
-        df, _vs = _compile_pattern(edges, pat, pat_ix)
+        # dedup=False: duplicates ride the (one) cube exchange and are
+        # dropped cell-locally — see _cell_triangle_closer
+        df, _vs = _compile_pattern(edges, pat, pat_ix, dedup=False)
         # fixed coordinates on the two constrained axes, replicated along
         # the free axis (the Shares assignment)
         free_ax = ({0, 1, 2} - set(ax)).pop()

@@ -623,10 +623,11 @@ def _shingles(docs: DataFrame, cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFram
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: 3-gram shingle Jaccard ≥ 0.6 (set-similarity
-    self-join via shingle inverted index + hot-shingle DF cap — the shuffle
-    pattern that scales; Jaccard is over the capped shingle sets on both
-    engines). The doc_id bound keeps the oracle cheap; bench.py runs the
-    unbounded variant at sf0.1 to demonstrate linear candidate counts."""
+    self-join via the capped shingle inverted index — join fan-out bounded
+    by the hot-shingle DF cap, so total join rows stay linear in corpus
+    size; Jaccard is over the capped shingle sets on both engines). The
+    doc_id bound keeps the oracle cheap; bench.py runs the unbounded
+    variant at sf0.1 to demonstrate linear candidate counts."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return ngram_jaccard_pairs_agg(docs)
 
@@ -642,90 +643,48 @@ def ngram_jaccard_pairs_agg(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_verified_pairs(docs: DataFrame) -> DataFrame:
-    """Exact Jaccard ≥ 0.6 pairs (d1, d2, jaccard) via PREFIX FILTERING
-    (AllPairs/PPJoin lemma): order every doc's shingles globally by
-    (document frequency asc, shingle asc) and join only each doc's first
-    |set| - ceil(0.6·|set|) + 1 shingles — any pair with J ≥ 0.6 must
-    share its globally-smallest common shingle inside BOTH prefixes, so
-    candidate generation is LOSSLESS while skipping the quadratic "pairs
-    sharing any common shingle" blow-up (round-2 bench: 5k docs went from
-    37.9s to the prefix-filtered time in BENCH.md). ceil(0.6·sz) is
-    computed in integer arithmetic ((3·sz + 4) div 5) so both engines
-    agree exactly."""
-    # the shingle table feeds FOUR plan branches (doc_sets, df, prefix);
-    # materialize it once instead of re-running the scan + shingling
-    # pipeline per branch (round-4 bench: the unbounded sf0.1 phase
-    # dropped ~40% from this + the length filter)
+    """Exact Jaccard >= 0.6 pairs (d1, d2, jaccard) from the capped
+    inverted index: self-join the per-doc distinct shingle table on the
+    shingle, count shared shingles per doc pair (= the EXACT intersection
+    size, since per-doc shingles are distinct), attach set sizes, keep
+    J >= 0.6.
+
+    Scale bound: the hot-shingle DF cap (``_shingles``) limits every
+    shingle's join fan-out to df*(df-1)/2 <= cap^2/2, so total join rows
+    are <= (cap/2) * |shingle occurrences| — LINEAR in corpus size, the
+    same bound the MinHash candidate generator carries. Round-6 note: the
+    rounds-2-5 AllPairs prefix filter (rank by global (df, shingle)
+    order, self-join prefixes only, then verify candidates) was REMOVED
+    after measurement — under the DF cap the full co-occurrence join is
+    small (1.27M rows at sf0.1, max df 25), while the prefix pipeline
+    paid a per-doc ranking window, a candidate aggregation whose
+    positional+length filters kept 63% of pairs anyway, and a verify join
+    that shipped both docs' full shingle sets per surviving candidate —
+    strictly more shuffled bytes than the count it replaced. Prefix
+    filtering earns its keep when rare-end prefixes are selective; this
+    corpus (and any with a tight DF cap) is not that regime."""
     sh = _shingles(docs).localCheckpoint()
-    # per-doc shingle set as ONE array row (per-doc bounded: docs are
-    # KB-sized so the array is too). Feeds the size lookups AND the exact
-    # intersection verify, which becomes an in-row array_intersect over
-    # the two candidate docs' sets instead of re-exploding them through a
-    # (pair ⋈ shingle) join — round-6: the exploded intersection join
-    # fanned 193k length-filtered candidates out to ~73M (pair, shingle)
-    # rows at sf0.1 before aggregating them straight back down.
-    doc_sets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shs"))
-        .withColumn("sz", F.size("shs"))
-        .localCheckpoint()
-    )
-    sizes = doc_sets.select("doc_id", "sz")
-    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        sh.join(df, "shingle")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        sa.join(
+            sb,
+            (sa["shingle"] == sb["shingle"]) & (sa["d1"] < sb["d2"]),
         )
-        .join(sizes, "doc_id")
-        .withColumn("prefix_len", F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1)
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    prefix = ranked.where(F.col("rn") <= F.col("prefix_len")).select(
-        "doc_id", "shingle"
-    )
-    pa = prefix.alias("pa")
-    pb = prefix.alias("pb")
-    cand = (
-        pa.join(
-            pb,
-            (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
-        .select(F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2"))
-        .distinct()
-    )
-    # length filter (AllPairs): J ≥ 0.6 forces 0.6·max(sz1,sz2) ≤
-    # min(sz1,sz2) — prune size-incompatible candidates BEFORE the
-    # expensive intersection join ships their full shingle sets
     za = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
     zb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    cand = (
-        cand.join(za, "d1")
-        .join(zb, "d2")
-        .where(
-            F.least("sz1", "sz2") * F.lit(5)
-            >= F.greatest("sz1", "sz2") * F.lit(3)
-        )
-    )
-    # exact verify: attach each side's full shingle set (one array row per
-    # doc) and intersect IN-ROW. Two keyed joins of |cand| rows replace
-    # the exploded (pair ⋈ shingle) join + re-aggregation + two size
-    # re-joins; a pair with an empty intersection simply scores 0 and is
-    # dropped by the same threshold the grouped form enforced by absence.
-    s1 = doc_sets.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
-    s2 = doc_sets.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
-    inter = F.size(F.array_intersect("shs1", "shs2"))
     jac = (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
+        inter.join(za, "d1")
+        .join(zb, "d2")
         .select(
             "d1",
             "d2",
             F.round(
-                inter / (F.col("sz1") + F.col("sz2") - inter), 6
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.6)
@@ -1178,17 +1137,16 @@ def embedding_near_dup_pairs(
         )
         for band in range(NEAR_DUP_BANDS)
     ]
-    # materialize the signature table (4 small rows per vector): it feeds
-    # THREE plan branches (the bucket-size guard and both sides of the
-    # candidate self-join) — without the cut each branch re-evaluates the
-    # 32 projections, and the join sides lose the small-size stats AQE
-    # needs to pick broadcast. The scan is widened first (the 2,000-row
-    # fixture arrives as ONE split; no-op at scale).
-    sig = _plane_dots(spark, _widen_narrow_scan(emb), ws).select(
+    # deliberately LAZY (round-6 A/B): the signature feeds three plan
+    # branches, but materializing it (or widening the scan first) paid
+    # more in extra jobs than the three overlapped in-row recomputes cost
+    # — the triangles lesson; first-run 2.6s lazy vs 3.8-6.8s for the
+    # widen/checkpoint variants at bench scale.
+    sig = _plane_dots(spark, emb, ws).select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select(
         "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    ).localCheckpoint()
+    )
     ok_buckets = (
         sig.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("k"))

@@ -364,7 +364,7 @@ def _advance_distinct_edges(
     prefix: str,
     batch_edges: DataFrame,
     key_cols: list[str],
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame | None, DataFrame, DataFrame]:
     """Shared cumulative-distinct-edge-set step for the incremental
     streams: anti-join the batch's distinct keys against the standing set
     (``<prefix><id>`` under the ``_LATEST`` marker), localCheckpoint the
@@ -641,9 +641,18 @@ def stream_bgp_view(
             delta = delta.unionByName(_match_pair(cur_edges, new_edges))
         cur_view = read_bgp_view_state(sess, state_dir)
         if cur_view is not None:
-            fresh = delta.dropDuplicates().join(
-                cur_view, on=list(cur_view.columns), how="left_anti"
-            )
+            # NULL-SAFE anti-join (round-5 ADVICE): a binding carrying a
+            # NULL value (possible when an alternation pattern's
+            # projection is not edge-injective) would never equi-match
+            # the standing view and be appended again every batch,
+            # breaking set semantics vs match_bgp — eqNullSafe treats
+            # NULL = NULL as a match, like the dropDuplicates beside it.
+            d = delta.dropDuplicates()
+            cond = None
+            for c in cur_view.columns:
+                e = d[c].eqNullSafe(cur_view[c])
+                cond = e if cond is None else (cond & e)
+            fresh = d.join(cur_view, on=cond, how="left_anti")
             merged = cur_view.unionByName(fresh)
         else:
             merged = delta.dropDuplicates()

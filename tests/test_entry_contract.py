@@ -15,6 +15,18 @@ def test_oracle_keys_subset_of_queries():
     assert {"kg_normalize", "kg_triples", "kg_edges_topk"} <= set(qs)
 
 
+def test_registry_within_driver_record_cap():
+    """The external driver records a green row for at most the FIRST 50
+    registered queries (round-3 lesson: 52 registered silently dropped
+    the last two). The registry sits exactly at that cap — any new
+    contract query must be folded into a tagged family query (see the
+    family-fold pattern around kgforge.queries.q_ann_suite /
+    q_dedup_stats) instead of growing the dict, or it ships without a
+    per-round driver record. This gate makes that failure loud
+    (round-5 verdict next-step #4)."""
+    assert len(entrymod.queries()) <= 50
+
+
 def test_entry_returns_edges(spark):
     df = entrymod.entry(spark)
     assert df.columns == ["subj_id", "pred", "obj_id", "n"]

@@ -53,6 +53,7 @@ def _spark_rows(df) -> set[tuple]:
         "kg_components",
         "kg_kcore",
         "kg_sameas_candidates",
+        "kg_bgp",
     ],
 )
 def test_spark_matches_expected_parquet(spark, expected_paths, name):
