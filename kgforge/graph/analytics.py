@@ -358,16 +358,25 @@ def label_propagation_labels(
         .where(F.col("node") != F.col("nbr"))
     )
     nbrs = sym.repartition("nbr").dropDuplicates().localCheckpoint()
-    labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
+    if iterations <= 0:
+        return nbrs.select("node").distinct().withColumn("label", F.col("node"))
+    labels = None
     prev_sig = None
     stop_next = False
     for it in range(iterations):
-        nbr_labels = nbrs.join(
-            labels.withColumnRenamed("node", "nbr").withColumnRenamed(
-                "label", "nbr_label"
-            ),
-            "nbr",
-        ).select("node", "nbr_label")
+        if labels is None:
+            # round 1 fused (round-6): every node starts as its own
+            # label, so the first round's message (node, label(nbr)) IS
+            # the neighbor table itself — skip both the label-init
+            # distinct and the round-1 join outright.
+            nbr_labels = nbrs.select("node", F.col("nbr").alias("nbr_label"))
+        else:
+            nbr_labels = nbrs.join(
+                labels.withColumnRenamed("node", "nbr").withColumnRenamed(
+                    "label", "nbr_label"
+                ),
+                "nbr",
+            ).select("node", "nbr_label")
         # max count, tie → min label — exactly deterministic MODE.
         # ``mode(col, deterministic=true)`` ("if multiple values have the
         # same greatest frequency, return the smallest") replaces the
@@ -383,12 +392,14 @@ def label_propagation_labels(
         if stop_next:
             # parity escape (see below): one extra round re-aligned the
             # period-≤2 trajectory with the final round's parity
-            labels = labels.localCheckpoint()
             break
         # truncate lineage every OTHER round: per-round eager checkpoints
         # pay one Spark job each, fully-lazy chaining grows the plan —
-        # the measured sweet spot is the middle (BENCH.md round 4)
-        if it % 2 == 1 or it == iterations - 1:
+        # the measured sweet spot is the middle (BENCH.md round 4). The
+        # LAST round stays lazy (round-6): its labels are consumed
+        # exactly once by the caller's aggregation, so an eager
+        # materialization there was a pure extra job.
+        if it % 2 == 1 and it != iterations - 1:
             labels = labels.localCheckpoint()
             # early exit, semantics-preserving up to checksum collision: a
             # signature match between checkpointed rounds proves the

@@ -253,8 +253,11 @@ def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1/R7: whitespace tokenize + explode + top-50 tokens."""
-    docs = _t(spark, sf_dir, "documents")
+    """R1/R7: whitespace tokenize + explode + top-50 tokens. The scan is
+    widened (same conditional as _shingles) so the explode + map-side
+    partial count of ~2M token rows at sf0.1 runs on every core instead
+    of the one or two splits a small parquet file arrives as."""
+    docs = _widen_narrow_scan(_t(spark, sf_dir, "documents"))
     tok = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).where(F.length("token") > 0)
@@ -1117,35 +1120,45 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """The reusable LSH-bucketed near-dup plan: embeddings(vec_id,
     embedding) → verified pairs (id1, id2, cos ≥ threshold)."""
+    # NOTE (round-6): an in-row signature variant (broadcast plane
+    # matrix + transform/aggregate, as q_lsh_bucketed_ann now computes)
+    # was built, verified bit-identical, and REVERTED for this query:
+    # interleaved A/B in a bench-warm session measured the exploded plan
+    # consistently faster end-to-end here (first-run 3.4s vs 5.0s,
+    # steady 2.0s vs 2.3s) — the signature feeds three join branches
+    # whose shapes share the generic codegen every earlier bench query
+    # already compiled, while the HOF chain compiles its own, and at
+    # 2,000 vectors the avoided explode/shuffle is noise. The in-row
+    # form remains the right shape for the single-consumer bucket
+    # histogram (see q_lsh_bucketed_ann).
     spark = emb.sparkSession
     n_planes = NEAR_DUP_BANDS * NEAR_DUP_PLANES
-    # 32×64 ±1 plane matrix (md5-derived, bit-identical to the previous
-    # per-row SQL derivation — _plane_weights docstring), shipped as one
-    # broadcast row: all 32 signed projections happen IN-ROW and the 4
-    # per-band bucket ids explode from one array of structs — no
-    # posexplode over dimensions, no plane join, no (vec_id, plane)
-    # aggregation shuffle.
-    ws = _plane_weights("nd", n_planes, dim)
-    band_structs = [
-        F.struct(
-            F.lit(band).cast("int").alias("band"),
+    planes = (
+        spark.range(0, n_planes)
+        .select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(0, dim).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "plane",
+            "d",
             F.expr(
-                f"aggregate(sequence(0, {NEAR_DUP_PLANES - 1}), 0L, (acc, o) ->"
-                f" acc + IF(element_at(dots, {band * NEAR_DUP_PLANES} + o + 1)"
-                " > 0, shiftleft(1L, o), 0L))"
-            ).alias("bucket"),
+                "CASE WHEN CAST(conv(substr(md5(concat_ws(',', 'nd', plane, d)),"
+                " 1, 1), 16, 10) AS INT) % 2 = 1 THEN 1.0D ELSE -1.0D END"
+            ).alias("w"),
         )
-        for band in range(NEAR_DUP_BANDS)
-    ]
-    # deliberately LAZY (round-6 A/B): the signature feeds three plan
-    # branches, but materializing it (or widening the scan first) paid
-    # more in extra jobs than the three overlapped in-row recomputes cost
-    # — the triangles lesson; first-run 2.6s lazy vs 3.8-6.8s for the
-    # widen/checkpoint variants at bench scale.
-    sig = _plane_dots(spark, emb, ws).select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    dots = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    sig = (
+        dots.groupBy("vec_id", F.expr("plane div 8").alias("band"))
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN dot > 0 THEN shiftleft(1L, plane % 8) ELSE 0L END")
+            ).alias("bucket")
+        )
     )
     ok_buckets = (
         sig.groupBy("band", "bucket")
