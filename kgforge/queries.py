@@ -253,11 +253,11 @@ def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1/R7: whitespace tokenize + explode + top-50 tokens. The scan is
-    widened (same conditional as _shingles) so the explode + map-side
-    partial count of ~2M token rows at sf0.1 runs on every core instead
-    of the one or two splits a small parquet file arrives as."""
-    docs = _widen_narrow_scan(_t(spark, sf_dir, "documents"))
+    """R1/R7: whitespace tokenize + explode + top-50 tokens. NOT widened
+    (round-6): unlike the md5-heavy shingle/simhash scans, the explode +
+    map-side count is cheap enough that the widening shuffle of the full
+    text column measured slower in the bench context (2.3s vs 1.9s)."""
+    docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).where(F.length("token") > 0)
