@@ -45,6 +45,27 @@ def _stable_hash(s: str) -> int:
 _EN_ENDERS = ("PERIOD", "PERIOD", "PERIOD", "PERIOD", "QUESTIONMARK", "EXLAMATIONMARK")
 _ZH_ENDERS = ("C_PERIOD", "C_PERIOD", "C_PERIOD", "C_PERIOD", "C_QUESTIONMARK", "C_EXLAMATIONMARK")
 
+_MOCK_HASHES: dict[str, tuple[int, int, int]] = {}
+
+
+def _mock_hashes(tok: str) -> tuple[int, int, int]:
+    """(len, end, comma) hash triple per token, memoized together
+    (round-6): _tag_chunk probed up to three prefixed keys per token
+    occurrence ("len:"/"end:"/"comma:" concat + _HASH_CACHE lookup each)
+    — one dict probe on the bare token replaces them; values are the
+    identical _stable_hash results."""
+    v = _MOCK_HASHES.get(tok)
+    if v is None:
+        if len(_MOCK_HASHES) >= _HASH_CACHE_CAP:
+            _MOCK_HASHES.clear()
+        v = (
+            _stable_hash("len:" + tok),
+            _stable_hash("end:" + tok),
+            _stable_hash("comma:" + tok),
+        )
+        _MOCK_HASHES[tok] = v
+    return v
+
 
 class MockTagger:
     """Deterministic rule tagger: sentence length is a hash of the sentence's
@@ -72,21 +93,23 @@ class MockTagger:
         tags: list[str] = []
         sent_pos = 0
         target = 0
+        last = len(tokens) - 1
+        n_enders = len(self.enders)
         for i, tok in enumerate(tokens):
+            h_len, h_end, h_comma = _mock_hashes(tok)
             if sent_pos == 0:
-                target = self.min_len + _stable_hash("len:" + tok) % self.len_span
+                target = self.min_len + h_len % self.len_span
             sent_pos += 1
-            if sent_pos >= target and i < len(tokens) - 1:
-                h = _stable_hash("end:" + tok)
-                tags.append(self.enders[h % len(self.enders)])
+            if sent_pos >= target and i < last:
+                tags.append(self.enders[h_end % n_enders])
                 sent_pos = 0
-            elif sent_pos > 2 and _stable_hash("comma:" + tok) % self.comma_mod == 0:
+            elif sent_pos > 2 and h_comma % self.comma_mod == 0:
                 tags.append(self.comma)
             else:
                 tags.append("O")
         if tags:
             # close the final sentence of the chunk
-            tags[-1] = self.enders[_stable_hash("end:" + tokens[-1]) % len(self.enders)]
+            tags[-1] = self.enders[_mock_hashes(tokens[-1])[1] % n_enders]
         return tags
 
 
