@@ -587,6 +587,21 @@ def _clean_token(tok: str) -> str:
     return c
 
 
+_TOKINFO_CACHE: dict[str, tuple[str, bool]] = {}
+
+
+def _tok_info(tok: str) -> tuple[str, bool]:
+    """(clean token, carries-trailing-punct) pair, memoized together —
+    the element type of the ``pairs`` list the extractor helpers index."""
+    v = _TOKINFO_CACHE.get(tok)
+    if v is None:
+        if len(_TOKINFO_CACHE) >= _CLEAN_CACHE_CAP:
+            _TOKINFO_CACHE.clear()
+        v = (_clean_token(tok), tok != tok.rstrip(_EDGE_PUNCT))
+        _TOKINFO_CACHE[tok] = v
+    return v
+
+
 # subject-side PP markers whose complement is a MODIFIER of a matrix NP
 # ("shares OF acme corp", "analysts AT vertex analytics", "researchers
 # FROM acme corp"): the matrix head is the grammatical subject. Locative
@@ -1875,9 +1890,12 @@ def extract_triples(
         raw = _strip_appositives(_REL_CLAUSE.sub(" ", sentence)).split()
     else:
         raw = sentence.split()
-    tokens = [_clean_token(t) for t in raw]
-    boundary = [t != t.rstrip(_EDGE_PUNCT) for t in raw]  # trailing punct
-    pairs = list(zip(tokens, boundary))
+    # one memoized (clean, trailing-punct) tuple per raw token (round-6):
+    # the tuple list IS the ``pairs`` structure every helper indexes, so
+    # the per-occurrence rstrip probe and the zip disappear
+    pairs = [_tok_info(t) for t in raw]
+    tokens = [c for c, _b in pairs]
+    boundary = [b for _c, b in pairs]
     # most recent committed agent-side subject, for predicate coordination
     # with an elided subject ("X acquired A and LAUNCHED B" — the second
     # conjunct inherits X). English counterpart of the zh clause-split

@@ -195,12 +195,34 @@ def two_hop_reach_approx(
         .distinct()
         .localCheckpoint()
     )
-    # the sketch table feeds up to three branches (hot filter, cold join,
-    # seed contribution union) — materialize once; one fixed-size sketch
-    # row per distinct src, bounded by |V|.
-    nbr_sk = e.groupBy(F.col("src").alias("node")).agg(
-        F.hll_sketch_agg("dst", F.lit(lg_k)).alias("sk")
-    ).localCheckpoint()
+    # ONE tagged aggregation builds the out-neighbor sketches AND the
+    # in-degrees together (round-6): each edge contributes a (src, dst)
+    # row — sketched, null-ignored by the degree sum — and a (dst, NULL)
+    # row — ignored by the sketch, counted as in-degree. One 2|E|-row
+    # exchange + one materialization replaces the separate sketch
+    # aggregation, degree aggregation and their jobs. Per-node output is
+    # one fixed-size sketch row, bounded by |V|; it feeds up to three
+    # branches (hot filter, cold join, seed union) plus the hot-id
+    # pre-pass below.
+    per_node = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("val"))
+        .unionAll(
+            e.select(
+                F.col("dst").alias("node"), F.lit(None).cast("string").alias("val")
+            )
+        )
+        .groupBy("node")
+        .agg(
+            F.hll_sketch_agg("val", F.lit(lg_k)).alias("sk"),
+            F.count("val").alias("outd"),  # count(col) skips the NULL rows
+            F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("ind"),
+        )
+        .localCheckpoint()
+    )
+    # only nodes WITH out-edges carry a (non-empty) sketch — identical
+    # row set to the previous src-only aggregation (verified: the HLL agg
+    # ignores NULLs, so the sketch bytes match the filtered build)
+    nbr_sk = per_node.where(F.col("outd") > 0).select("node", "sk")
     # hop join with a hot/cold dst split (round-5 skew bench): the join
     # shuffles edges BY DST, so a crawl hub's entire in-neighborhood lands
     # in one task (measured 7.3× the median partition at a 50%-hot fixture)
@@ -217,12 +239,11 @@ def two_hop_reach_approx(
     # list, hot/cold become isin() FILTERS on the edge scan, and the split
     # disappears entirely when no dst exceeds the threshold.
     hot_ids = [
-        r["dst"]
+        r["node"]
         for r in (
-            e.groupBy("dst")
-            .agg(F.count(F.lit(1)).alias("ind"))
-            .where(F.col("ind") >= TWO_HOP_HOT_MIN_DEGREE)
-            .orderBy(F.desc("ind"), F.asc("dst"))
+            per_node.where(F.col("ind") >= TWO_HOP_HOT_MIN_DEGREE)
+            .select("node", "ind")
+            .orderBy(F.desc("ind"), F.asc("node"))
             .limit(TWO_HOP_HOT_K)
             .collect()
         )
