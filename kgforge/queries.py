@@ -824,16 +824,24 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 16, 10) AS INT) % 2 = 1 THEN shiftleft(1, b) ELSE 0 END))"
         ).alias("hs")
     )
-    ones = [
-        f"aggregate(hs, 0, (acc, h) -> acc +"
-        f" CASE WHEN shiftright(h, {b}) % 2 = 1 THEN 1 ELSE 0 END)"
-        for b in range(16)
-    ]
-    sim_sql = " + ".join(
-        f"CASE WHEN 2 * ({o}) > size(hs) THEN shiftleft(1L, {b}) ELSE 0L END"
-        for b, o in enumerate(ones)
+    # one nested higher-order expression instead of 16 inlined per-bit
+    # aggregates summed in a ~200-node tree (round-6): execution cost is
+    # identical (same per-element arithmetic, HOFs evaluate the same
+    # way), but the phase was dominated by per-query planning/codegen of
+    # the big tree (measured: full compute 0.7 s, bench phase 1.8-2.0 s)
+    # — the compact form cuts the tree to ~20 nodes. Arithmetic is
+    # unchanged: ones[b] = Σ_h bit_b(h), bit b set iff 2·ones[b] > n.
+    sim_sql = (
+        "aggregate(zip_with("
+        " transform(sequence(0, 15), b -> aggregate(hs, 0,"
+        "   (acc, h) -> acc + CASE WHEN shiftright(h, b) % 2 = 1"
+        "   THEN 1 ELSE 0 END)),"
+        " sequence(0, 15),"
+        " (o, b) -> CASE WHEN 2 * o > size(hs) THEN shiftleft(1L, b)"
+        "   ELSE 0L END),"
+        " 0L, (acc, x) -> acc + x)"
     )
-    sim = hs.select(F.expr(f"({sim_sql})").alias("simhash"))
+    sim = hs.select(F.expr(sim_sql).alias("simhash"))
     return (
         sim.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n"))
