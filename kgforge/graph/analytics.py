@@ -30,6 +30,8 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -301,9 +303,11 @@ def triangle_counts(edges_df: DataFrame, k: int = 20) -> DataFrame:
     # `oriented` (below), which gates three DOWNSTREAM branches after a
     # multi-join pipeline, is materialized.
     und = _undirected(edges_df)
+    # degree via in-row explode of (u, v) rather than a unionAll of two
+    # selects over ``und`` (round-6): the union form embeds the distinct
+    # pipeline twice; explode executes it once for the same multiset.
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
         .withColumn(
@@ -339,10 +343,17 @@ def triangle_counts(edges_df: DataFrame, k: int = 20) -> DataFrame:
         F.col("lo").alias("y"), F.col("hi").alias("z")
     )
     tris = wedges.join(closer, ["y", "z"], "inner")
+    # each triangle credits all three vertices. In-row explode instead of
+    # a 3-way unionAll of selects over ``tris`` (round-6): the union form
+    # embeds the wedge-close join subtree THREE times and Spark reuses
+    # only the exchanges feeding it, not the join itself — the most
+    # expensive stage of the query ran 3×. explode fans the same rows out
+    # inside one pass of a single join execution; the multiset of node
+    # credits is identical by construction.
     per_node = (
-        tris.select(F.col("x").alias("node"))
-        .unionAll(tris.select(F.col("y").alias("node")))
-        .unionAll(tris.select(F.col("z").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -358,27 +369,62 @@ def label_propagation_labels(
     min). Returns the FULL (node, label) assignment — the materialization
     shape (pipeline's ``communities`` stage); ``label_propagation`` below
     presents community sizes."""
-    # pre-partition the (static) neighbor table by the per-round join key
-    # and materialize: localCheckpoint preserves the partitioning, so each
-    # of the ``iterations`` joins reuses it instead of re-shuffling the big
-    # side every round (only the small per-round label table moves).
-    # Built in ONE exchange (round-6): mirror the raw directed pairs both
-    # ways FIRST, repartition by the join key, and dedup with
-    # dropDuplicates — hash partitioning on ``nbr`` already clusters every
-    # (node, nbr) duplicate, so the dedup aggregate runs in place instead
-    # of adding the second (distinct-then-repartition) shuffle.
+    # pre-partition the (static) neighbor table ONCE and materialize:
+    # localCheckpoint preserves the partitioning, so the per-round plans
+    # reuse it instead of re-shuffling the big side every round. Built in
+    # ONE exchange (round-6): mirror the raw directed pairs both ways
+    # FIRST (in-row explode — one edge scan, not a unionAll of two), pick
+    # the partition key, and dedup with dropDuplicates — hash partitioning
+    # on EITHER single column already clusters every (node, nbr)
+    # duplicate, so the dedup aggregate runs in place instead of adding a
+    # second (distinct-then-repartition) shuffle.
     sym = (
         edges_df.select(
-            F.col("subj_id").alias("node"), F.col("obj_id").alias("nbr")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subj_id").alias("node"),
+                        F.col("obj_id").alias("nbr"),
+                    ),
+                    F.struct(
+                        F.col("obj_id").alias("node"),
+                        F.col("subj_id").alias("nbr"),
+                    ),
+                )
+            ).alias("p")
         )
-        .unionAll(
-            edges_df.select(
-                F.col("obj_id").alias("node"), F.col("subj_id").alias("nbr")
-            )
-        )
+        .select("p.node", "p.nbr")
         .where(F.col("node") != F.col("nbr"))
     )
-    nbrs = sym.repartition("nbr").dropDuplicates().localCheckpoint()
+    # Layout choice (round-6, guide §2/§3): the per-round label table is
+    # one row per NODE — when it is small enough to broadcast, the round
+    # join needs no co-partitioning at all, so partitioning the static
+    # table by ``node`` instead lets each round's mode aggregation
+    # (groupBy node) run IN PLACE: zero exchanges per round (the only
+    # per-round data movement is the ~|V|-row broadcast). When |V| is too
+    # big to broadcast (the 100-TB regime), keep the ``nbr`` layout: the
+    # label table shuffles to the static table's partitioning each round
+    # and the mode aggregation pays its one exchange — the prior shape.
+    # |V| is measured with one cheap approx_count_distinct pre-pass (a
+    # narrow scan + tiny final agg); the cap is rows, not bytes, and is
+    # env-overridable for cluster deployments.
+    broadcast_cap = int(os.environ.get("KGFORGE_LPA_BROADCAST_NODES", "2000000"))
+    n_nodes = sym.agg(F.approx_count_distinct("node").alias("n")).first()["n"]
+    bcast_labels = n_nodes <= broadcast_cap
+    # persist + eager count, NOT localCheckpoint: a checkpointed RDD scan
+    # reports UnknownPartitioning (measured — plans/r06), so every round
+    # re-shuffled the big side despite the pre-partitioning; an
+    # InMemoryRelation keeps its outputPartitioning visible to the
+    # planner, so in the broadcast layout the per-round mode aggregation
+    # (groupBy node over the hash(node)-clustered cache) runs with NO
+    # exchange at all. The cache lives for this query's lineage only —
+    # nothing persists across bench runs (fresh session each run).
+    nbrs = (
+        sym.repartition("node" if bcast_labels else "nbr")
+        .dropDuplicates()
+        .persist()
+    )
+    nbrs.count()
     if iterations <= 0:
         return nbrs.select("node").distinct().withColumn("label", F.col("node"))
     labels = None
@@ -392,11 +438,15 @@ def label_propagation_labels(
             # distinct and the round-1 join outright.
             nbr_labels = nbrs.select("node", F.col("nbr").alias("nbr_label"))
         else:
+            lbl = labels.withColumnRenamed("node", "nbr").withColumnRenamed(
+                "label", "nbr_label"
+            )
+            # broadcast-hint only under the node-count cap (see layout
+            # note above): the hint keeps the round join partitioning-
+            # agnostic so the streamed side's hash(node) layout flows
+            # through to the mode aggregation with no exchange.
             nbr_labels = nbrs.join(
-                labels.withColumnRenamed("node", "nbr").withColumnRenamed(
-                    "label", "nbr_label"
-                ),
-                "nbr",
+                F.broadcast(lbl) if bcast_labels else lbl, "nbr"
             ).select("node", "nbr_label")
         # max count, tie → min label — exactly deterministic MODE.
         # ``mode(col, deterministic=true)`` ("if multiple values have the
