@@ -38,19 +38,38 @@ from pyspark.sql import functions as F
 from kgforge.graph.cc import _signature as _cc_signature
 
 
+def _edge_roles(edges_day_df: DataFrame) -> DataFrame:
+    """Both role rows per assertion — (subj as out, obj as in) — via one
+    in-row explode instead of a unionAll of two selects (round-6): the
+    union form scanned the parquet edge table twice; explode fans each
+    scanned row out in place, same multiset."""
+    return edges_day_df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj_id").alias("node"),
+                    F.col("pred").alias("pred"),
+                    F.col("day").alias("day"),
+                    F.lit(1).alias("is_out"),
+                ),
+                F.struct(
+                    F.col("obj_id").alias("node"),
+                    F.col("pred").alias("pred"),
+                    F.col("day").alias("day"),
+                    F.lit(0).alias("is_out"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.node", "r.pred", "r.day", "r.is_out")
+
+
 def entity_profile_table(edges_day_df: DataFrame) -> DataFrame:
     """FULL per-entity activity profile over the assertion stream (NOT
     distinct edges — a profile counts assertions): out/in edge counts,
     distinct predicate count, first/last crawl day. Unordered — this is
     the materialization shape (the pipeline's ``entity_profile`` stage);
     ``entity_profile`` below adds the top-k presentation."""
-    roles = edges_day_df.select(
-        F.col("subj_id").alias("node"), "pred", "day", F.lit(1).alias("is_out")
-    ).unionAll(
-        edges_day_df.select(
-            F.col("obj_id").alias("node"), "pred", "day", F.lit(0).alias("is_out")
-        )
-    )
+    roles = _edge_roles(edges_day_df)
     return roles.groupBy("node").agg(
         F.sum("is_out").alias("out_edges"),
         F.sum(1 - F.col("is_out")).alias("in_edges"),
@@ -83,13 +102,7 @@ def entity_profile_table_approx(
     error ≈ 1.04/√2^lg_k (~1.6% at lg_k=12). All other columns are exact
     and identical to the exact twin. Columns: node, out_edges, in_edges,
     n_preds_est (double), first_day, last_day."""
-    roles = edges_day_df.select(
-        F.col("subj_id").alias("node"), "pred", "day", F.lit(1).alias("is_out")
-    ).unionAll(
-        edges_day_df.select(
-            F.col("obj_id").alias("node"), "pred", "day", F.lit(0).alias("is_out")
-        )
-    )
+    roles = _edge_roles(edges_day_df)
     return roles.groupBy("node").agg(
         F.sum("is_out").alias("out_edges"),
         F.sum(1 - F.col("is_out")).alias("in_edges"),
@@ -107,8 +120,8 @@ def daily_active_nodes(edges_day_df: DataFrame) -> DataFrame:
     full distinct (day, node) set — |V| rows PER DAY — which is the
     canonical HLL use case; the approx twin below is the serving path."""
     nodes = edges_day_df.select(
-        "day", F.col("subj_id").alias("node")
-    ).unionAll(edges_day_df.select("day", F.col("obj_id").alias("node")))
+        "day", F.explode(F.array("subj_id", "obj_id")).alias("node")
+    )
     return nodes.groupBy("day").agg(
         F.count_distinct("node").alias("n_nodes")
     )
@@ -123,8 +136,8 @@ def daily_active_nodes_approx(
     that rolls up to arbitrary windows without touching node ids again.
     Columns: day, n_nodes_est (double)."""
     nodes = edges_day_df.select(
-        "day", F.col("subj_id").alias("node")
-    ).unionAll(edges_day_df.select("day", F.col("obj_id").alias("node")))
+        "day", F.explode(F.array("subj_id", "obj_id")).alias("node")
+    )
     return nodes.groupBy("day").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("node", F.lit(lg_k)))
         .cast("double")
