@@ -542,9 +542,11 @@ def kcore(
     prev = e.count()
     cap = max_iter if max_iter is not None else prev + 2
     for _ in range(cap):
+        # in-row explode, not a 2-select union: one pass over the
+        # checkpointed edge set per peel round (round-6, the
+        # triangle_counts lesson)
         deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
+            e.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
@@ -562,8 +564,7 @@ def kcore(
     else:
         raise RuntimeError(f"kcore did not converge in {cap} peel rounds")
     core_deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

@@ -20,9 +20,21 @@ from pyspark.sql import functions as F
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: m = min(N(u) ∪ {u}); connect every strictly larger
     neighbor to m."""
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # both orientations via one in-row explode, not a union of two
+    # selects — one pass over the (checkpointed) edge set per round
+    # (round-6, the triangle_counts lesson)
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
     m = sym.groupBy("src").agg(F.min("dst").alias("minn"))
     m = m.select("src", F.least("minn", F.col("src")).alias("m"))
     return (
