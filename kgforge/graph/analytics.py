@@ -220,12 +220,20 @@ def two_hop_reach_approx(
     # branches (hot filter, cold join, seed union) plus the hot-id
     # pre-pass below.
     per_node = (
-        e.select(F.col("src").alias("node"), F.col("dst").alias("val"))
-        .unionAll(
-            e.select(
-                F.col("dst").alias("node"), F.lit(None).cast("string").alias("val")
-            )
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"), F.col("dst").alias("val")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(None).cast("string").alias("val"),
+                    ),
+                )
+            ).alias("t")
         )
+        .select("t.node", "t.val")
         .groupBy("node")
         .agg(
             F.hll_sketch_agg("val", F.lit(lg_k)).alias("sk"),
