@@ -340,3 +340,25 @@ def test_daily_active_nodes_approx_tracks_exact(spark):
     assert set(est) == set(exact)
     for day, want in exact.items():
         assert abs(est[day] - want) <= max(1, 0.05 * want), (day, est[day], want)
+
+
+def test_lpa_broadcast_layout_equivalence(spark, monkeypatch):
+    """The adaptive label-broadcast layout (round-6) must be invisible:
+    LPA under the node-count cap (broadcast path, node-partitioned static
+    table, zero-exchange rounds) and with the cap forced to 0 (fallback
+    nbr layout, per-round label shuffle) must produce identical
+    communities on a fixture with ties, a bridge, and an isolated pair."""
+    rows = [
+        ("a", "p", "b", "u", 0, "d"),
+        ("a", "p", "c", "u", 0, "d"),
+        ("b", "p", "c", "u", 0, "d"),
+        ("c", "p", "d", "u", 0, "d"),
+        ("d", "p", "e", "u", 0, "d"),
+        ("x", "p", "y", "u", 0, "d"),
+    ]
+    e = _edges(spark, rows)
+    fast = [tuple(r) for r in label_propagation(e, k=100).collect()]
+    monkeypatch.setenv("KGFORGE_LPA_BROADCAST_NODES", "0")
+    slow = [tuple(r) for r in label_propagation(e, k=100).collect()]
+    assert fast == slow
+    assert sum(n for _, n in fast) == 7
