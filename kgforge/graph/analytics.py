@@ -440,12 +440,15 @@ def label_propagation_labels(
     # (groupBy node over the hash(node)-clustered cache) runs with NO
     # exchange at all. The cache lives for this query's lineage only —
     # nothing persists across bench runs (fresh session each run).
+    # lazily persisted: the first action that touches the rounds (the
+    # round-2 checkpoint) materializes the cache as part of its own job
+    # — an eager count() here measured as one extra full pass for
+    # nothing (actions are strictly sequential in this fixpoint).
     nbrs = (
         sym.repartition("node" if bcast_labels else "nbr")
         .dropDuplicates()
         .persist()
     )
-    nbrs.count()
     if iterations <= 0:
         return nbrs.select("node").distinct().withColumn("label", F.col("node"))
     labels = None
