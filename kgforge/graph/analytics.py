@@ -488,13 +488,19 @@ def label_propagation_labels(
             # parity escape (see below): one extra round re-aligned the
             # period-≤2 trajectory with the final round's parity
             break
-        # truncate lineage every OTHER round: per-round eager checkpoints
-        # pay one Spark job each, fully-lazy chaining grows the plan —
-        # the measured sweet spot is the middle (BENCH.md round 4). The
-        # LAST round stays lazy (round-6): its labels are consumed
-        # exactly once by the caller's aggregation, so an eager
-        # materialization there was a pure extra job.
-        if it % 2 == 1 and it != iterations - 1:
+        # truncate lineage every OTHER round — but only for LONG loops
+        # (iterations > 5): per-round eager checkpoints pay one Spark job
+        # each, and with the light round-6 round shape (broadcast join +
+        # in-place mode aggregation) a fully-lazy 5-round chain measured
+        # ~15% faster than the round-4 every-other-round cadence
+        # (flip-flop A/B min 3.12 → 2.47 s) — the optimizer handles a
+        # 5-join plan fine, and the nested per-round broadcast stages
+        # already execute each round exactly once. Long loops keep the
+        # cadence: lineage growth is real there, and the signature
+        # early-exit below reads the checkpointed rounds. The LAST round
+        # always stays lazy: its labels are consumed exactly once by the
+        # caller's aggregation.
+        if iterations > 5 and it % 2 == 1 and it != iterations - 1:
             labels = labels.localCheckpoint()
             # early exit, semantics-preserving up to checksum collision: a
             # signature match between checkpointed rounds proves the
