@@ -449,6 +449,7 @@ def label_propagation_labels(
         .dropDuplicates()
         .persist()
     )
+    nbrs.count()
     if iterations <= 0:
         return nbrs.select("node").distinct().withColumn("label", F.col("node"))
     labels = None
