@@ -440,10 +440,13 @@ def label_propagation_labels(
     # (groupBy node over the hash(node)-clustered cache) runs with NO
     # exchange at all. The cache lives for this query's lineage only —
     # nothing persists across bench runs (fresh session each run).
-    # lazily persisted: the first action that touches the rounds (the
-    # round-2 checkpoint) materializes the cache as part of its own job
-    # — an eager count() here measured as one extra full pass for
-    # nothing (actions are strictly sequential in this fixpoint).
+    # the eager count() below materializes the cache BEFORE the rounds
+    # are planned: the cached build is an AdaptiveSparkPlan whose final
+    # partitioning is unknown until executed, so with a lazy persist the
+    # planner re-inserts the per-round mode exchange into the fully-lazy
+    # round chain; with the cache materialized first, every round
+    # compiles to the mode aggregation directly over the broadcast join
+    # — zero exchanges per round (plans/r06/kg_communities_after.txt).
     nbrs = (
         sym.repartition("node" if bcast_labels else "nbr")
         .dropDuplicates()
