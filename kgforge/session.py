@@ -25,6 +25,23 @@ def get_spark(
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("KGFORGE_SHUFFLE_PARTITIONS", "32"))
+    # make the repo importable in daemon/worker processes regardless of the
+    # launcher's cwd: the JVM (and the Python daemon it spawns) inherit the
+    # driver process environment, and PythonWorkerFactory merges the
+    # inherited PYTHONPATH into the worker path — UDF closures import
+    # kgforge inside the worker, which otherwise relies on the launcher
+    # running from the repo root. (A pre-importing custom daemon module
+    # was tried here and reverted: with idle cores, N workers importing
+    # pandas concurrently cost the same wall-clock as one serial daemon
+    # import — the first-Arrow-stage overhead is JVM-side class loading
+    # plus one import chain, both fixed; measured 2.3-2.5 s first call
+    # either way, 0.5 s steady.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + ((os.pathsep + existing) if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
